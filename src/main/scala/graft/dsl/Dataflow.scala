@@ -1,0 +1,57 @@
+package graft.dsl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.transform._
+
+/** Declarative pipeline description — the analog of the reference's
+  * `Dataflow` command record (reference:
+  * src/Shipwright.Core/Dataflows/Dataflow.cs:19-63): name, key fields,
+  * sources, ordered transformations. Compiles to a single Catalyst plan;
+  * validation happens at build time (the reference's FluentValidation
+  * decorators, Dataflow.cs:69-81 → constructor `require`s here), so a bad
+  * plan fails before any job is submitted.
+  *
+  * The reference's `MaxDegreeOfParallelism` knob (Dataflow.cs:32, default 1)
+  * has no analog: parallelism is Spark's partitioning; per-record operator
+  * order is preserved inside the generated code for every row.
+  */
+case class Dataflow(
+    name: String,
+    keys: Seq[String] = Nil,
+    sources: Seq[DataFrame] = Nil,
+    defaults: Map[String, Any] = Map.empty,
+    replacements: Map[String, Map[String, String]] = Map.empty,
+    transformations: Seq[Transformation] = Nil
+) {
+  require(name.nonEmpty, "Dataflow requires a name")
+
+  def withKeys(ks: String*): Dataflow = copy(keys = ks)
+  def source(df: DataFrame): Dataflow = copy(sources = sources :+ df)
+  def default(field: String, value: Any): Dataflow = copy(defaults = defaults + (field -> value))
+  def replace(field: String, map: Map[String, String]): Dataflow =
+    copy(replacements = replacements + (field -> map))
+  def transform(ts: Transformation*): Dataflow =
+    copy(transformations = transformations ++ ts)
+
+  /** Compile to a DataFrame. Sources are concatenated by name (the
+    * reference's AggregateSource sequential read, AggregateSource.cs:50-56 —
+    * per-source record order is carried by the position column, not physical
+    * order). The implicit prefix [Required(keys), DefaultValue, Replace] is
+    * prepended before user transformations, matching the insertion order of
+    * Dataflow.Handler (Dataflow.cs:213-219, :147-160).
+    */
+  def run(): DataFrame = {
+    require(sources.nonEmpty, s"Dataflow [$name] requires at least one source")
+    val input = sources.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val prefix: Seq[Transformation] =
+      (if (keys.nonEmpty) Seq(Required(keys)) else Nil) ++
+        (if (defaults.nonEmpty) Seq(DefaultValue(defaults)) else Nil) ++
+        replacements.toSeq.sortBy(_._1).map { case (f, m) => Replace(Seq(f), m) }
+    Pipeline(input, prefix ++ transformations)
+  }
+}
+
+object Dataflow {
+  def apply(name: String): Dataflow = new Dataflow(name)
+}

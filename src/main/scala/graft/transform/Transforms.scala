@@ -1,0 +1,289 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{Events, LogEvent}
+
+/** Field converters — the analog of the reference's `Conversion` delegates
+  * (reference: src/Shipwright.Core/Dataflows/Transformations/Conversion.cs:111-228).
+  * Each is a pure Column→Column returning NULL on unconvertible input, so the
+  * whole conversion stays inside whole-stage codegen (no UDFs). The exact C#
+  * parse semantics (bool token table, lenient DateTime, SSN formatting) are
+  * reproduced as expression trees, NOT as Spark CASTs — `CAST` accepts values
+  * the reference rejects (e.g. `'t'` as boolean).
+  */
+object Converters {
+
+  /** Conversion.ToUpperCase (Conversion.cs:111-118). Input schema is string,
+    * so the non-string failure path of the reference cannot arise.
+    */
+  val toUpperCase: Column => Column = c => upper(c)
+
+  /** Conversion.ToBoolean (Conversion.cs:158-190): bool.TryParse plus the
+    * case-insensitive token table yes/no/y/n/0/1
+    * (tests: BooleanTests.cs:20-47). Numeric strings beyond 0/1 fail, exactly
+    * like C# (Convert.ToBoolean(string) uses bool.Parse, not numeric parse).
+    */
+  val toBoolean: Column => Column = c => {
+    val t = lower(trim(c))
+    when(t.isin("true", "yes", "y", "1"), lit(true))
+      .when(t.isin("false", "no", "n", "0"), lit(false))
+      .otherwise(lit(null).cast(BooleanType))
+  }
+
+  /** Conversion.ToDecimal (Conversion.cs:210-228): decimal.TryParse with
+    * NumberStyles.Number (thousands separators allowed when well-formed).
+    */
+  val toDecimal: Column => Column = c => {
+    val t = trim(c)
+    val grouped = t.rlike("^[+-]?[0-9]{1,3}(,[0-9]{3})+(\\.[0-9]*)?$")
+    val cleaned = when(grouped, regexp_replace(t, ",", "")).otherwise(t)
+    cleaned.try_cast("decimal(38,18)")
+  }
+
+  /** Conversion.ToDateTime (Conversion.cs:123-141): C# DateTime.TryParse is
+    * lenient ("Jan  2, 2018 12:30 AM" parses — DateTimeTests.cs:57-60). We
+    * normalize runs of spaces, then try ISO (Spark's default string→timestamp
+    * parse covers yyyy-MM-dd[ HH:mm:ss[.f…]] and the 'T'/round-trip forms)
+    * followed by a fixed lenient-format list.
+    */
+  val toDateTime: Column => Column = c => {
+    val norm = regexp_replace(trim(c), " +", " ")
+    coalesce(
+      try_to_timestamp(norm),
+      try_to_timestamp(norm, lit("MMM d, yyyy h:mm a")),
+      try_to_timestamp(norm, lit("MMM d, yyyy")),
+      try_to_timestamp(norm, lit("M/d/yyyy h:mm a")),
+      try_to_timestamp(norm, lit("M/d/yyyy"))
+    )
+  }
+
+  /** Conversion.ToDate (Conversion.cs:146-153): ToDateTime then midnight
+    * truncation.
+    */
+  val toDate: Column => Column = c => toDateTime(c).cast(DateType)
+
+  /** Conversion.ToSocialSecurityNumber (Conversion.cs:195-205): strip
+    * non-digits; exactly 9 digits → ###-##-####; else fail.
+    */
+  val toSsn: Column => Column = c => {
+    val digits = regexp_replace(c, "[^0-9]", "")
+    when(length(digits) === 9,
+      concat_ws("-",
+        substring(digits, 1, 3), substring(digits, 4, 2), substring(digits, 6, 4)))
+      .otherwise(lit(null).cast(StringType))
+  }
+
+  def byName(name: String): (Column => Column, DataType) = name match {
+    case "upper"    => (toUpperCase, StringType)
+    case "boolean"  => (toBoolean, BooleanType)
+    case "decimal"  => (toDecimal, DecimalType(38, 18))
+    case "datetime" => (toDateTime, TimestampType)
+    case "date"     => (toDate, DateType)
+    case "ssn"      => (toSsn, StringType)
+  }
+}
+
+/** Declarative transformation ADT — the analog of the reference's
+  * `Transformation` records composed by `AggregateTransformation`
+  * (reference: src/Shipwright.Core/Dataflows/Transformations/
+  * AggregateTransformation.cs:53-61). The [[Pipeline]] compiler folds these
+  * into Catalyst column expressions; nothing here materializes rows.
+  */
+sealed trait Transformation
+
+/** Required (Required.cs:53-80): missing/null or (unless allowEmpty)
+  * whitespace-only string → field nulled + stop event.
+  */
+case class Required(fields: Seq[String], allowEmpty: Boolean = false) extends Transformation
+
+/** DefaultValue (DefaultValue.cs:60-84): missing/null or (defaultOnBlank)
+  * whitespace-only → literal default.
+  */
+case class DefaultValue(defaults: Map[String, Any], defaultOnBlank: Boolean = true) extends Transformation
+
+/** Replace (Replace.cs:69-99): exact case-sensitive match against the map. */
+case class Replace(fields: Seq[String], replacements: Map[String, String]) extends Transformation
+
+/** Truncate (Truncate.cs:52-73): strings longer than len → prefix. */
+case class Truncate(lengths: Map[String, Int]) extends Transformation
+
+/** Conversion (Conversion.cs:62-94): converter by name from [[Converters]];
+  * failure nulls the field and appends the stop event carrying the offending
+  * value (remove-on-fail, Conversion.cs:84-88).
+  */
+case class Conversion(fields: Seq[String], converter: String) extends Transformation
+
+/** Conditional (Conditional.cs:48-95): per-row predicate gating inner
+  * transformations. Compiled by pushing the predicate into every inner
+  * field-effect — per-row guards, not control flow.
+  */
+case class Conditional(pred: Column, inner: Seq[Transformation]) extends Transformation
+
+/** Unique (Unique.cs:60-97): duplicates by key are FLAGGED (stop event naming
+  * the first occurrence's position), never dropped; first occurrence by
+  * source position wins — reproducing the reference's sequential arrival
+  * order deterministically via min-position, independent of partitioning.
+  */
+case class UniqueFlag(keys: Seq[String], posCol: String = "pos",
+                      caseSensitive: Boolean = false) extends Transformation
+
+/** DbLookup (DbLookup.cs:181-223) re-expressed as a broadcast left join with
+  * an exactly-one-match guard: 1 match → outputs copied; 0 or ≥2 → stop event
+  * carrying the match count. The reference's per-key result cache
+  * (DbLookup.cs:159-176) is subsumed by join execution — the build side is
+  * read once.
+  */
+case class Lookup(lookupDf: DataFrame, joinKeys: Seq[String],
+                  outputs: Seq[String], broadcastHint: Boolean = true) extends Transformation
+
+/** Code (Code.cs:12-62): the escape-hatch UDF — arbitrary DataFrame step.
+  * Not gateable by Conditional (use column functions for that).
+  */
+case class CodeT(fn: DataFrame => DataFrame) extends Transformation
+
+/** Per-field column effects of one transformation under a row guard. */
+private[transform] case class Effects(
+    sets: Seq[(String, Column => Column)], // field -> old value -> new value
+    events: Seq[Column => Column]          // old events -> new events
+)
+
+/** Compiles a transformation list over a DataFrame carrying an `events`
+  * column, reproducing the reference's short-circuit decorator
+  * (TransformationHandlerEventDecorator.cs:20-27): each op's effects are
+  * guarded by `!stopped(events)` — a stop event freezes the record for all
+  * later operators. Everything stays in Catalyst expressions (one projection
+  * per operator, collapsed by the optimizer into a single codegen stage for
+  * the narrow ops).
+  */
+object Pipeline {
+
+  /** Add the empty events column (idempotent). */
+  def init(df: DataFrame): DataFrame =
+    if (df.columns.contains(Events.col)) df
+    else df.withColumn(Events.col, Events.empty)
+
+  def apply(df: DataFrame, transformations: Seq[Transformation]): DataFrame =
+    transformations.foldLeft(init(df))((d, t) => applyOne(d, t, lit(true)))
+
+  private def fieldEvent(stop: Boolean, level: String, desc: String, value: Column): Column =
+    Events.event(stop, level, lit(desc), value)
+
+  private def applyOne(df: DataFrame, t: Transformation, pred: Column): DataFrame = t match {
+
+    case Required(fields, allowEmpty) =>
+      fields.foldLeft(df) { (d, f) =>
+        val g = pred && !Events.stoppedCol
+        val blank = if (allowEmpty) lit(false) else trim(col(f).cast(StringType)) === ""
+        val bad = g && (col(f).isNull || blank)
+        // The guard must be evaluated against the PRE-op events array: stage
+        // it in a temp column, then append the event (payload = pre-null
+        // value), then null the field.
+        d.withColumn("__bad", bad)
+          .withColumn(Events.col,
+            Events.appendWhen(col(Events.col), col("__bad"),
+              fieldEvent(stop = true, LogEvent.Error,
+                s"A value is required for the field [$f]", col(f))))
+          .withColumn(f, when(col("__bad"), lit(null).cast(d.schema(f).dataType)).otherwise(col(f)))
+          .drop("__bad")
+      }
+
+    case DefaultValue(defaults, onBlank) =>
+      defaults.foldLeft(df) { case (d, (f, v)) =>
+        val g = pred && !Events.stoppedCol
+        val blank =
+          if (onBlank) col(f).isNull || trim(col(f).cast(StringType)) === ""
+          else col(f).isNull
+        d.withColumn(f, when(g && blank, lit(v)).otherwise(col(f)))
+      }
+
+    case Replace(fields, map) =>
+      fields.foldLeft(df) { (d, f) =>
+        val g = pred && !Events.stoppedCol
+        val s = col(f).cast(StringType)
+        val replaced = map.foldLeft(lit(null).cast(StringType)) {
+          case (acc, (in, out)) => when(s === lit(in), lit(out)).otherwise(acc)
+        }
+        val hit = map.keys.foldLeft(lit(false))((acc, in) => acc || s === lit(in))
+        d.withColumn(f, when(g && col(f).isNotNull && hit, replaced).otherwise(col(f)))
+      }
+
+    case Truncate(lengths) =>
+      lengths.foldLeft(df) { case (d, (f, n)) =>
+        val g = pred && !Events.stoppedCol
+        d.withColumn(f,
+          when(g && length(col(f)) > n, substring(col(f), 1, n)).otherwise(col(f)))
+      }
+
+    case Conversion(fields, convName) =>
+      val (fn, dt) = Converters.byName(convName)
+      fields.foldLeft(df) { (d, f) =>
+        val g = pred && !Events.stoppedCol
+        val converted = fn(col(f))
+        val applied = g && col(f).isNotNull
+        val failed = applied && converted.isNull
+        d.withColumn("__applied", applied).withColumn("__failed", failed)
+          .withColumn(Events.col,
+            Events.appendWhen(col(Events.col), col("__failed"),
+              fieldEvent(stop = true, LogEvent.Error,
+                s"Unable to convert the data in field [$f]", col(f))))
+          // Success → typed overwrite; failure → field removed (null), matching
+          // Conversion.cs:84-88. Rows the op does not touch (stopped / null)
+          // surface null in the typed column; their pre-image lives in the
+          // stop event payload (typed columns cannot hold the frozen string).
+          .withColumn(f, when(col("__applied") && !col("__failed"), converted)
+            .otherwise(lit(null).cast(dt)))
+          .drop("__applied", "__failed")
+      }
+
+    case Conditional(p, inner) =>
+      inner.foldLeft(df)((d, t2) => applyOne(d, t2, pred && p))
+
+    case UniqueFlag(keys, posCol, caseSensitive) =>
+      val g = pred && !Events.stoppedCol
+      val rawKey = to_json(struct(keys.map(k => col(k).cast(StringType)): _*))
+      val key = if (caseSensitive) rawKey else upper(rawKey)
+      // Stopped/ungated rows never reach the handler in the reference, so
+      // they neither register keys nor get flagged: null partition key.
+      val eligKey = when(g, key)
+      val w = Window.partitionBy(eligKey).orderBy(col(posCol))
+      val firstPos = first(col(posCol)).over(w)
+      val dup = g && eligKey.isNotNull && col(posCol) =!= firstPos
+      df.withColumn("__first_pos", firstPos)
+        .withColumn(Events.col,
+          Events.appendWhen(col(Events.col), dup,
+            Events.event(stop = true, LogEvent.Error,
+              lit("Duplicate record detected"),
+              concat(lit("first occurrence at position "), col("__first_pos")))))
+        .drop("__first_pos")
+
+    case Lookup(lookupDf, joinKeys, outputs, hint) =>
+      val g = pred && !Events.stoppedCol
+      // Pre-aggregate the build side: exactly-one semantics become a count
+      // check after a single left join (one shuffle-free broadcast at small
+      // dim sizes; falls back to shuffle join for large lookups).
+      val aggd = lookupDf
+        .groupBy(joinKeys.map(col): _*)
+        .agg(count(lit(1)).as("__match_count"),
+          outputs.map(o => first(col(o)).as(o)): _*)
+      val build = if (hint) broadcast(aggd) else aggd
+      val joined = df.join(build, joinKeys, "left")
+      val matched = col("__match_count").isNotNull && col("__match_count") === 1
+      val staged = joined
+        .withColumn("__ok", g && matched)
+        .withColumn("__failed", g && !matched)
+      val withEv = staged.withColumn(Events.col,
+        Events.appendWhen(col(Events.col), col("__failed"),
+          Events.event(stop = true, LogEvent.Error,
+            lit("Lookup did not match exactly one record"),
+            coalesce(col("__match_count"), lit(0)).cast(StringType))))
+      outputs.foldLeft(withEv) { (d, o) =>
+        d.withColumn(o, when(col("__ok"), col(o)).otherwise(lit(null).cast(d.schema(o).dataType)))
+      }.drop("__match_count", "__ok", "__failed")
+
+    case CodeT(fn) => fn(df)
+  }
+}
