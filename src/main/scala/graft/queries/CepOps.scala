@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.source.Transcript
+import graft.stream.{OrderRepair, ToolPair, TurnPos}
+
+/** North-rule CEP obligations as oracle-checkable batch queries (SURVEY.md
+  * §2.5): event-time windows (tumbling/sliding/session), per-conversation
+  * order repair (`flatMapGroupsWithState` — the SAME function that runs in
+  * streaming, invoked in batch mode where end-of-data plays the final
+  * watermark), tool-call/response pairing, watermark-style dedup, and salted
+  * skew-safe aggregation. Streaming flavors live in graft.stream and are
+  * asserted equal to these in the test suites.
+  */
+object CepOps {
+
+  private val W = Transcript.withTurns
+
+  /** Deterministic disorder: drop every 7th event (gaps) and duplicate every
+    * 11th (with pos offset + marker text) — identical in the DuckDB CTE.
+    */
+  private def dirtyTurns(s: SparkSession, dir: String): DataFrame = {
+    val t = Transcript.fromEvents(s, dir)
+    t.filter(col("pos") % 7 =!= 0).unionByName(
+      t.filter(col("pos") % 11 === 0)
+        .withColumn("text", lit("DUP"))
+        .withColumn("pos", col("pos") + 1000000000L))
+  }
+
+  private val dirtySql =
+    """SELECT * FROM turns WHERE pos % 7 <> 0
+      |UNION ALL
+      |SELECT conv_id, turn_idx, role, 'DUP' AS text, tool, ts, pos + 1000000000 AS pos
+      |FROM turns WHERE pos % 11 = 0""".stripMargin
+
+  private val dedupSql =
+    """SELECT conv_id, turn_idx, role, text, tool, ts, pos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) AS rn
+      |  FROM dirty
+      |) WHERE rn = 1""".stripMargin
+
+  import org.apache.spark.sql.Encoders
+  private implicit val turnPosEnc = Encoders.product[TurnPos]
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_order_repair" -> ((s, dir) =>
+      OrderRepair.batch(dirtyTurns(s, dir).as[TurnPos], strict = true).toDF()),
+
+    "q_order_repair_flush" -> ((s, dir) =>
+      OrderRepair.batch(dirtyTurns(s, dir).as[TurnPos], strict = false).toDF()),
+
+    "q_dedup_keep_first" -> ((s, dir) => {
+      // Batch analog of dropDuplicatesWithinWatermark: min-pos winner per key
+      // (dropDuplicates keeps an arbitrary row — not deterministic, so the
+      // engine's dedup is a window, one shuffle on the same key as every
+      // other per-conversation op).
+      val w = Window.partitionBy(col("conv_id"), col("turn_idx")).orderBy(col("pos"))
+      dirtyTurns(s, dir).withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }),
+
+    "q_tool_pair" -> ((s, dir) =>
+      ToolPair.batch(Transcript.fromEvents(s, dir))
+        .select(col("conv_id"), col("call_turn_idx"), col("tool"),
+          col("result_turn_idx"), col("latency_ms"))),
+
+    "q_window_tumbling" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    "q_window_sliding" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    "q_session_window" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("user_id"), col("n"))
+    }),
+
+    "q_skew_salted_agg" -> ((s, dir) => {
+      // Two-stage salted aggregation: partial agg on (conv_id, salt) spreads
+      // a hot conversation over 16 reducers, final agg merges partials.
+      // Result is identical to the direct groupBy — the salt only reshapes
+      // the shuffle.
+      val t = Transcript.fromEvents(s, dir)
+      t.withColumn("__salt", pmod(col("pos"), lit(16)))
+        .groupBy(col("conv_id"), col("__salt"))
+        .agg(count(lit(1)).as("pn"), sum(length(col("text"))).as("pl"))
+        .groupBy(col("conv_id"))
+        .agg(sum(col("pn")).as("n_turns"), sum(col("pl")).as("total_chars"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_order_repair" -> (W +
+      s""", dirty AS (\n$dirtySql\n), dedup AS (\n$dedupSql\n),
+         |gaps AS (
+         |  SELECT conv_id, min(turn_idx) AS min_gap FROM (
+         |    SELECT conv_id, turn_idx,
+         |      row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS rnk
+         |    FROM dedup
+         |  ) WHERE turn_idx <> rnk GROUP BY conv_id
+         |)
+         |SELECT d.conv_id, d.turn_idx, d.role, d.text, d.tool, d.ts, d.pos
+         |FROM dedup d LEFT JOIN gaps g ON d.conv_id = g.conv_id
+         |WHERE g.min_gap IS NULL OR d.turn_idx < g.min_gap""".stripMargin),
+
+    "q_order_repair_flush" -> (W +
+      s""", dirty AS (\n$dirtySql\n)\n$dedupSql""".stripMargin),
+
+    "q_dedup_keep_first" -> (W +
+      s""", dirty AS (\n$dirtySql\n)\n$dedupSql""".stripMargin),
+
+    "q_tool_pair" -> (W +
+      """, calls AS (
+        |  SELECT conv_id, turn_idx AS call_turn_idx, tool, ts AS call_ts, pos AS call_pos
+        |  FROM turns WHERE role = 'assistant' AND tool IS NOT NULL
+        |), results AS (
+        |  SELECT conv_id AS r_conv_id, turn_idx AS result_turn_idx, tool AS r_tool,
+        |    ts AS result_ts, pos AS result_pos
+        |  FROM turns WHERE role = 'tool'
+        |), joined AS (
+        |  SELECT c.conv_id, c.call_turn_idx, c.tool, r.result_turn_idx,
+        |    epoch_ms(r.result_ts) - epoch_ms(c.call_ts) AS latency_ms,
+        |    row_number() OVER (PARTITION BY c.conv_id, c.call_turn_idx
+        |      ORDER BY r.result_ts ASC NULLS LAST, r.result_pos ASC NULLS LAST) AS rn
+        |  FROM calls c LEFT JOIN results r
+        |    ON c.conv_id = r.r_conv_id AND c.tool = r.r_tool
+        |   AND r.result_turn_idx > c.call_turn_idx
+        |   AND r.result_ts >= c.call_ts
+        |   AND r.result_ts <= c.call_ts + INTERVAL 5 MINUTE
+        |)
+        |SELECT conv_id, call_turn_idx, tool, result_turn_idx, latency_ms
+        |FROM joined WHERE rn = 1""".stripMargin),
+
+    "q_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_window_sliding" ->
+      """SELECT make_timestamp(((epoch_ms(ts) // 1800000) - k.k) * 1800000000) AS w_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), y AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x
+        |)
+        |SELECT min(ts) AS s_start, max(ts) + INTERVAL 10 MINUTE AS s_end,
+        |  user_id, count(*) AS n
+        |FROM y GROUP BY user_id, sid""".stripMargin,
+
+    "q_skew_salted_agg" -> (W +
+      """SELECT conv_id, count(*) AS n_turns, sum(length(text)) AS total_chars
+        |FROM turns GROUP BY conv_id""".stripMargin)
+  )
+}

@@ -1,0 +1,71 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tool-call / tool-response pairing (north star: a stream-stream stateful
+  * join). A call is an assistant turn carrying a tool name; its response is
+  * the earliest later `tool`-role turn in the same conversation with the
+  * same tool name within `maxDelay`.
+  *
+  * Batch flavor: range join + earliest-result window — oracle-checkable SQL.
+  * Streaming flavor: watermarked stream-stream left-outer join with the
+  * range condition bounding state on both sides (Spark evicts join state
+  * for call rows once the watermark passes `c.ts + maxDelay`).
+  */
+object ToolPair {
+
+  private def calls(turns: DataFrame): DataFrame =
+    turns.filter(col("role") === "assistant" && col("tool").isNotNull)
+      .select(col("conv_id"), col("turn_idx").as("call_turn_idx"),
+        col("tool"), col("ts").as("call_ts"), col("pos").as("call_pos"))
+
+  private def results(turns: DataFrame): DataFrame =
+    turns.filter(col("role") === "tool")
+      .select(col("conv_id").as("r_conv_id"), col("turn_idx").as("result_turn_idx"),
+        col("tool").as("r_tool"), col("ts").as("result_ts"), col("pos").as("result_pos"))
+
+  // Parquet timestamps surface as TIMESTAMP_NTZ; unix_millis needs LTZ —
+  // with the session pinned to UTC the cast is a no-op rebase.
+  private def latencyMs =
+    unix_millis(col("result_ts").cast("timestamp")) -
+      unix_millis(col("call_ts").cast("timestamp"))
+
+  private def joinCond(maxDelay: String) =
+    col("conv_id") === col("r_conv_id") &&
+      col("tool") === col("r_tool") &&
+      col("result_turn_idx") > col("call_turn_idx") &&
+      col("result_ts") >= col("call_ts") &&
+      col("result_ts") <= col("call_ts") + expr(s"INTERVAL $maxDelay")
+
+  /** Batch: left join, keep earliest matching result per call (by result ts
+    * then pos — deterministic).
+    */
+  def batch(turns: DataFrame, maxDelay: String = "5 MINUTES"): DataFrame = {
+    val joined = calls(turns).join(results(turns), joinCond(maxDelay), "left")
+    val w = Window.partitionBy(col("conv_id"), col("call_turn_idx"))
+      .orderBy(col("result_ts").asc_nulls_last, col("result_pos").asc_nulls_last)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "r_conv_id", "r_tool")
+      .withColumn("latency_ms", latencyMs)
+  }
+
+  /** Streaming: both sides watermarked; inner or left-outer per
+    * `leftOuter` (outer emission waits for the watermark, per Spark
+    * stream-stream join semantics). Note streaming joins cannot apply the
+    * earliest-result window — downstream dedup by (conv_id, call_turn_idx)
+    * picks the winner; the test suite asserts set-equality of pairs with
+    * the batch flavor for in-watermark data.
+    */
+  def streaming(turns: DataFrame, maxDelay: String = "5 MINUTES",
+                watermark: String = "10 minutes", leftOuter: Boolean = false): DataFrame = {
+    val c = calls(turns.withWatermark("ts", watermark))
+      .withWatermark("call_ts", watermark)
+    val r = results(turns.withWatermark("ts", watermark))
+      .withWatermark("result_ts", watermark)
+    c.join(r, joinCond(maxDelay), if (leftOuter) "leftOuter" else "inner")
+      .drop("r_conv_id", "r_tool")
+      .withColumn("latency_ms", latencyMs)
+  }
+}
