@@ -13,11 +13,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.ReferenceOps.defs ++ graft.queries.CepOps.defs
+    graft.queries.ReferenceOps.defs ++ graft.queries.CepOps.defs ++
+      graft.queries.TextOps.defs ++ graft.queries.VectorOps.defs ++
+      graft.queries.RelOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    graft.queries.ReferenceOps.oracles ++ graft.queries.CepOps.oracles
+    graft.queries.ReferenceOps.oracles ++ graft.queries.CepOps.oracles ++
+      graft.queries.TextOps.oracles ++ graft.queries.VectorOps.oracles ++
+      graft.queries.RelOps.oracles
 }

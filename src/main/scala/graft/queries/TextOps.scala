@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline text operators over the `documents` table:
+  * exact dedup, MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard,
+  * language ID, quality scoring, token counting. Every operator here is
+  * oracle-checked: the shingle/word hash is md5-prefix→int64 (identical in
+  * Spark and DuckDB), and the MinHash/SimHash mixing uses small-modulus
+  * integer arithmetic so neither engine can overflow or diverge.
+  *
+  * Scale notes: all ops are explode→groupBy shapes that shuffle on doc_id
+  * or (hash-bucket) keys — at 100 TB the LSH band join replaces the O(n²)
+  * pair scan with an equi-join on band values, which AQE can skew-split;
+  * the brute-force paths exist only as correctness baselines.
+  */
+object TextOps {
+
+  // ---- deterministic test-dirt: near-dup copies (first two words dropped)
+  //      and exact copies, so dedup operators have non-trivial output ----
+
+  private def augDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    d.unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("text", regexp_replace(col("text"), "^\\S+ \\S+ ", "")))
+      .unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 200000L))
+  }
+
+  private val augSql =
+    """aug AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, regexp_replace(text, '^\S+ \S+ ', ''), lang, source
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text, lang, source FROM documents WHERE doc_id % 7 = 0
+      |)""".stripMargin
+
+  // ---- cross-engine exact string→int64 hash: first 15 hex chars of md5 ----
+
+  private def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  private def md5Hash60Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  // ---- MinHash: K=16 permutations h_i(x) = (a_i*(x mod M) + b_i) mod M ----
+
+  private val M = 1000003L
+  private val K = 16
+  private val as: Seq[Long] = (1 to K).map(i => (1103515245L * i + 12345L) % M)
+  private val bs: Seq[Long] = (1 to K).map(i => (987654321L * i + 7L) % M)
+
+  /** doc_id → distinct word-3-gram shingle hashes (mod M), both engines. */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs.withColumn("__w", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), explode_outer(expr(
+        "CASE WHEN size(__w) >= 3 THEN transform(sequence(0, size(__w) - 3), i -> concat_ws(' ', __w[i], __w[i+1], __w[i+2])) ELSE array() END"))
+        .as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .select(col("doc_id"), pmod(md5Hash60(col("shingle")), lit(M)).as("h"))
+      .distinct()
+
+  private val shingleHashesSql =
+    s"""sh AS (
+       |  SELECT DISTINCT a.doc_id,
+       |    ${md5Hash60Sql("g.s")} % $M AS h
+       |  FROM aug a,
+       |    LATERAL (SELECT w FROM (SELECT regexp_extract_all(trim(a.text), '\\S+') AS w)) t,
+       |    LATERAL (
+       |      SELECT unnest(list_transform(range(1, greatest(len(t.w) - 1, 1)),
+       |        i -> concat(t.w[i], ' ', t.w[i+1], ' ', t.w[i+2]))) AS s
+       |    ) g
+       |  WHERE len(t.w) >= 3
+       |)""".stripMargin
+
+  /** MinHash signature columns mh0..mh15, Spark side. */
+  private def signatures(docs: DataFrame): DataFrame =
+    shingleHashes(docs).groupBy("doc_id")
+      .agg(
+        min((col("h") * as.head + bs.head) % M).as("mh0"),
+        (1 until K).map(i => min((col("h") * as(i) + bs(i)) % M).as(s"mh$i")): _*)
+
+  private val signaturesSql =
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    ${(0 until K).map(i => s"min((h * ${as(i)} + ${bs(i)}) % $M) AS mh$i").mkString(",\n    ")}
+       |  FROM sh GROUP BY doc_id
+       |)""".stripMargin
+
+  // ---- SimHash: 48-bit over word-unigram hashes ----
+
+  private val SIMBITS = 48
+
+  private def simhash(docs: DataFrame): DataFrame = {
+    val wordHash = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), md5Hash60(col("w")).as("h"))
+    val sums = wordHash.groupBy("doc_id").agg(
+      sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("b0"),
+      (1 until SIMBITS).map(j =>
+        sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j")): _*)
+    sums.select(col("doc_id"),
+      (0 until SIMBITS).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  private val simhashSql = {
+    val sums = (0 until SIMBITS)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n    ")
+    val assemble = (0 until SIMBITS)
+      .map(j => s"CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
+      .mkString(" + ")
+    s"""wh AS (
+       |  SELECT a.doc_id, ${md5Hash60Sql("g.w")} AS h
+       |  FROM aug a, LATERAL (
+       |    SELECT unnest(regexp_extract_all(trim(a.text), '\\S+')) AS w
+       |  ) g WHERE g.w <> ''
+       |), sums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM wh GROUP BY doc_id
+       |), simh AS (
+       |  SELECT doc_id, $assemble AS simhash FROM sums
+       |)""".stripMargin
+  }
+
+  // ---- language ID: stopword-count heuristic, deterministic argmax ----
+
+  private val langPatterns: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein|ich|zu)\\b",
+    "en" -> "\\b(the|and|of|to|in|is|you|that|it|for)\\b",
+    "es" -> "\\b(el|la|los|y|es|no|por|que|una|en)\\b",
+    "fr" -> "\\b(le|la|les|et|est|pas|pour|que|une|dans)\\b",
+    "zh" -> "[\\x{4e00}-\\x{9fff}]"
+  )
+
+  private def argmaxCase(counts: Seq[(String, String)]): String =
+    // first max in lang order (alphabetical) — deterministic tie-break
+    counts.init.map { case (lang, c) =>
+      val geAll = counts.filter(_._1 != lang).map(o => s"$c >= ${o._2}").mkString(" AND ")
+      s"WHEN $geAll THEN '$lang'"
+    }.mkString("CASE ", " ", s" ELSE '${counts.last._1}' END")
+
+  // ---- quality / token counts ----
+
+  private val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_dedup_exact" -> ((s, dir) => {
+      // Exact dedup by content hash-groupBy: min doc_id per text wins; every
+      // doc maps to its canonical + copy count. (Flag-don't-drop, like the
+      // reference Unique — reference: Transformations/Unique.cs:89-93.)
+      val w = Window.partitionBy(col("text"))
+      augDocs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .select(col("doc_id"), col("canonical_id"), col("n_copies"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical"))
+    }),
+
+    "q_minhash_signature" -> ((s, dir) => signatures(augDocs(s, dir))),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      // LSH: 4 bands × 4 rows; candidate pairs share ≥1 band; estimated
+      // Jaccard = fraction of equal minhashes. The band join is an equi-join
+      // on (band_idx, band_value) — linear in data, no O(n²) pair scan.
+      val sig = signatures(augDocs(s, dir)).cache()
+      val bands = sig.select(col("doc_id"),
+        array((0 until 4).map(b =>
+          concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)): _*).as("bands"))
+        .select(col("doc_id"), posexplode(col("bands")))
+        .toDF("doc_id", "band_idx", "band_val")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val est = (0 until K).map(i =>
+        when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0)).reduce(_ + _)
+      cand.join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (est.cast("double") / K).as("jaccard_est"))
+        .filter(col("jaccard_est") >= 0.5)
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      // SimHash near-dup: band on 12-bit chunks, verify hamming ≤ 6.
+      val sim = simhash(augDocs(s, dir)).cache()
+      val bands = sim.select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until 4).map(b =>
+            expr(s"(simhash >> ${b * 12}) & 4095")): _*)))
+        .toDF("doc_id", "simhash", "band_idx", "band_val")
+      bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // Exact Jaccard over word-3-gram sets for LSH-candidate-free exact
+      // verification: pairs sharing ≥1 shingle (equi-join on shingle hash),
+      // Jaccard = |∩|/|∪|, threshold 0.5.
+      val sh = shingleHashes(augDocs(s, dir)).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter.join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (col("na.n") + col("nb.n") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val counted = langPatterns.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
+        case (d, (lang, pat)) => d.withColumn(s"c_$lang", regexp_count(col("text"), lit(pat)))
+      }
+      counted.withColumn("lang_pred",
+          expr(argmaxCase(langPatterns.map { case (l, _) => (l, s"c_$l") })))
+        .select((Seq(col("doc_id"), col("lang"), col("lang_pred")) ++
+          langPatterns.map { case (l, _) => col(s"c_$l") }): _*)
+    }),
+
+    "q_quality_score" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          regexp_count(col("text"), lit("\\S+")).as("n_tokens"),
+          regexp_count(col("text"), lit("[A-Za-z]")).as("n_alpha"),
+          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).as("n_punct"),
+          regexp_count(col("text"), lit(langPatterns(1)._2)).as("n_stop"))
+        .withColumn("alpha_ratio", col("n_alpha").cast("double") / col("n_chars"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("quality_ok",
+          col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5 && col("stop_ratio") >= 0.01)
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).as("n_ws_tokens"),
+        regexp_count(col("text"), lit(bpeishPattern)).as("n_bpeish_tokens"))
+    })
+  )
+
+  private def withAug(rest: String) = s"WITH $augSql\n$rest"
+
+  val oracles: Map[String, String] = Map(
+
+    "q_dedup_exact" -> withAug(
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+        |  count(*) OVER (PARTITION BY text) AS n_copies,
+        |  doc_id = min(doc_id) OVER (PARTITION BY text) AS is_canonical
+        |FROM aug""".stripMargin),
+
+    "q_minhash_signature" -> withAug(
+      s", $shingleHashesSql\nSELECT doc_id,\n  " +
+        (0 until K).map(i => s"min((h * ${as(i)} + ${bs(i)}) % $M) AS mh$i").mkString(",\n  ") +
+        "\nFROM sh GROUP BY doc_id"),
+
+    "q_dedup_minhash" -> withAug(
+      s""", $shingleHashesSql, $signaturesSql,
+         |bands AS (
+         |  SELECT doc_id, b.band_idx,
+         |    CASE b.band_idx
+         |      ${(0 until 4).map(b => s"WHEN $b THEN concat(${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ',', ")})").mkString("\n      ")}
+         |    END AS band_val
+         |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |  (${(0 until K).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / ${K.toDouble} AS jaccard_est
+         |FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id JOIN sig sb ON cand.doc_b = sb.doc_id
+         |WHERE (${(0 until K).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / ${K.toDouble} >= 0.5""".stripMargin),
+
+    "q_dedup_simhash" -> withAug(
+      s""", $simhashSql,
+         |bands AS (
+         |  SELECT doc_id, simhash, b.band_idx,
+         |    (simhash >> (b.band_idx * 12)) & 4095 AS band_val
+         |  FROM simh CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+         |)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+         |FROM bands x JOIN bands y
+         |  ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6""".stripMargin),
+
+    "q_ngram_jaccard" -> withAug(
+      s""", $shingleHashesSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+         |FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5""".stripMargin),
+
+    "q_lang_id" -> {
+      val counts = langPatterns.map { case (l, pat) =>
+        s"len(regexp_extract_all(text, '$pat')) AS c_$l"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, lang,
+         |  ${argmaxCase(langPatterns.map { case (l, _) => (l, s"c_$l") })} AS lang_pred,
+         |  ${langPatterns.map { case (l, _) => s"c_$l" }.mkString(", ")}
+         |FROM (SELECT doc_id, lang, text,
+         |  $counts
+         |FROM documents)""".stripMargin
+    },
+
+    "q_quality_score" ->
+      s"""SELECT doc_id, n_chars, n_tokens, n_alpha, n_punct, n_stop,
+         |  CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  (n_tokens >= 10 AND CAST(n_alpha AS DOUBLE) / n_chars >= 0.5
+         |   AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01) AS quality_ok
+         |FROM (SELECT doc_id, length(text) AS n_chars,
+         |  len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+         |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         |  len(regexp_extract_all(text, '${langPatterns(1)._2}')) AS n_stop
+         |FROM documents)""".stripMargin,
+
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '$bpeishPattern')) AS n_bpeish_tokens
+         |FROM documents""".stripMargin
+  )
+}

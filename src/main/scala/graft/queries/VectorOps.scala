@@ -1,0 +1,209 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.media.Media
+
+/** Similarity search / embedding operators over the `embeddings` table
+  * (64-dim float vectors): brute-force cosine top-k (correctness baseline),
+  * sign-LSH bucketed ANN and near-dup (the scale path — candidate generation
+  * becomes an equi-join on bucket id instead of an O(n²) pair scan), plus
+  * the multimodal binary-column plumbing.
+  *
+  * Cross-engine determinism: dot products are ordered left-folds over the
+  * array in BOTH engines (Spark `aggregate`, DuckDB `list_sum∘list_zip`) in
+  * double precision, LSH hyperplanes are fixed ±1 literals derived from md5
+  * at build time, and ranking keys round to 9 decimals before ordering.
+  */
+object VectorOps {
+
+  private val DIMS = 64
+  private val NBITS = 8
+
+  /** Deterministic ±1 hyperplanes: parity of the first md5 byte of "b:d". */
+  private[queries] val planes: Seq[Seq[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until NBITS).map { b =>
+      (0 until DIMS).map { d =>
+        val h = md.digest(s"$b:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
+  // ---- Spark-side vector helpers (pure Catalyst, codegen-friendly) ----
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  private def planeCol(b: Int): Column =
+    typedLit(planes(b))
+
+  /** Sign-LSH bucket id (NBITS bits) of an embedding column. */
+  private def bucket(emb: Column): Column =
+    (0 until NBITS).map { b =>
+      when(aggregate(zip_with(emb, planeCol(b), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  // ---- matching DuckDB SQL fragments ----
+
+  private def planeSqlLit(b: Int): String =
+    planes(b).mkString("[", ", ", "]")
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(%s, %s), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+
+  private def bucketSql(embExpr: String): String =
+    (0 until NBITS).map { b =>
+      s"(CASE WHEN list_sum(list_transform(list_zip($embExpr, ${planeSqlLit(b)}), " +
+        s"z -> CAST(z[1] AS DOUBLE) * z[2])) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val normSql =
+    "sqrt(list_sum(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  // ---- augmented embeddings: exact copies for near-dup fixtures ----
+
+  private def augEmb(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    e.unionByName(e.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000L))
+  }
+
+  private val augEmbSql =
+    """aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0
+      |)""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_ann_brute" -> ((s, dir) => {
+      // Brute-force cosine top-5 for each query vector (vec_id % 50 = 0) —
+      // the exactness baseline. Norms are precomputed per side BEFORE the
+      // join so each pair costs one dot product, and the small query side is
+      // broadcast: at scale this is a map-side loop over the big table, no
+      // shuffle of the corpus.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val q = broadcast(e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn")))
+      val pairs = e.join(q, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cos"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(round(col("cos"), 9).desc, col("nid").asc)
+      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      // Scale path: candidates share a sign-LSH bucket (equi-join on bucket
+      // id), then exact re-rank within the bucket. Linear candidate
+      // generation; recall traded for the O(n²) scan.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
+      val q = broadcast(e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("bkt").as("qbkt")))
+      val pairs = e.join(q, col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cos"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(round(col("cos"), 9).desc, col("nid").asc)
+      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+    }),
+
+    "q_embed_neardup" -> ((s, dir) => {
+      // Embedding-cosine near-dup via LSH buckets + exact verify ≥ 0.99.
+      val e = augEmb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
+      e.as("x").join(e.as("y"),
+          col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          (dot(col("x.embedding"), col("y.embedding")) /
+            (col("x.nrm") * col("y.nrm"))).as("cos"))
+        .filter(col("cos") >= 0.99)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+    }),
+
+    "q_multimodal_meta" -> ((s, dir) => {
+      // Binary-column plumbing: text → utf-8 bytes as the opaque payload,
+      // partition-wise decode (stub codec, real schema/batching).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Media.extractMeta(docs, "doc_id", "payload").toDF()
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_ann_brute" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id % 50 = 0
+         |), p AS (
+         |  SELECT q.qid, e.vec_id AS nid,
+         |    ${dotSql.format("e.embedding", "q.qe")} / (e.nrm * q.qn) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.qid
+         |), r AS (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, nid) AS rank
+         |  FROM p
+         |)
+         |SELECT qid, rank, nid, round(cos, 6) AS cos_sim FROM r WHERE rank <= 5""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm,
+         |    ${bucketSql("embedding")} AS bkt
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bkt AS qbkt
+         |  FROM e WHERE vec_id % 50 = 0
+         |), p AS (
+         |  SELECT q.qid, e.vec_id AS nid,
+         |    ${dotSql.format("e.embedding", "q.qe")} / (e.nrm * q.qn) AS cos
+         |  FROM e JOIN q ON e.bkt = q.qbkt AND e.vec_id <> q.qid
+         |), r AS (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, nid) AS rank
+         |  FROM p
+         |)
+         |SELECT qid, rank, nid, round(cos, 6) AS cos_sim FROM r WHERE rank <= 5""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH $augEmbSql,
+         |e AS (
+         |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm,
+         |    ${bucketSql("embedding")} AS bkt
+         |  FROM aug
+         |)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  round(${dotSql.format("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cos_sim
+         |FROM e x JOIN e y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+         |WHERE ${dotSql.format("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.99""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  octet_length(CAST(text AS BLOB)) % 640 AS width,
+        |  (octet_length(CAST(text AS BLOB)) * 7) % 480 AS height,
+        |  CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS first_byte
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.transform.Converters
+
+/** Converter truth tables mirroring the reference's exhaustive
+  * convertible/inconvertible case classes (reference tests:
+  * src/Shipwright.Test/Dataflows/Transformations/ConversionTests/
+  * BooleanTests.cs:20-47, DateTimeTests.cs:48-62,
+  * SocialSecurityNumberTests.cs:25-54, DecimalTests.cs, UpperCaseTests.cs).
+  */
+class ConvertersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                  inputs: Seq[String]): Seq[Any] =
+    inputs.toDF("v").select(fn(col("v"))).collect().map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
+
+  test("boolean token table: true variants") {
+    val in = Seq("true", "True", "TRUE", "yes", "YES", "y", "Y", "1", " true ")
+    assert(run(Converters.toBoolean, in).forall(_ == true))
+  }
+
+  test("boolean token table: false variants") {
+    val in = Seq("false", "False", "FALSE", "no", "NO", "n", "N", "0")
+    assert(run(Converters.toBoolean, in).forall(_ == false))
+  }
+
+  test("boolean: inconvertible → null (random text, guid, whitespace, numerics beyond 0/1)") {
+    val in = Seq("nope", "4c2b7e3a-1111-2222-3333-444455556666", "   ", "2", "-1", "t", "f")
+    assert(run(Converters.toBoolean, in).forall(_ == null))
+  }
+
+  test("datetime: ISO, lenient month-name, round-trip, slash formats") {
+    val got = run(Converters.toDateTime, Seq(
+      "2018-01-02 03:04:05",
+      "Jan  2, 2018 12:30 AM",
+      "2018-01-02T03:04:05.0000000",
+      "1/2/2018"))
+    assert(got == Seq(
+      Timestamp.valueOf("2018-01-02 03:04:05"),
+      Timestamp.valueOf("2018-01-02 00:30:00"),
+      Timestamp.valueOf("2018-01-02 03:04:05"),
+      Timestamp.valueOf("2018-01-02 00:00:00")))
+  }
+
+  test("datetime: inconvertible → null (long max/min, guid, whitespace)") {
+    val in = Seq(Long.MaxValue.toString + "9", "not a date",
+      "4c2b7e3a-1111-2222-3333-444455556666", "   ")
+    assert(run(Converters.toDateTime, in).forall(_ == null))
+  }
+
+  test("date truncates to midnight") {
+    val got = run(Converters.toDate, Seq("2018-01-02 03:04:05"))
+    assert(got == Seq(java.sql.Date.valueOf("2018-01-02")))
+  }
+
+  test("ssn: 9 digits formats, separators stripped, wrong lengths fail") {
+    val got = run(Converters.toSsn,
+      Seq("123456789", "123-45-6789", "98-7654321", "12345678", "1234567890", "abcdefghi"))
+    assert(got == Seq("123-45-6789", "123-45-6789", "987-65-4321", null, null, null))
+  }
+
+  test("decimal: plain, negative, thousands-grouped; malformed fails") {
+    val got = run(Converters.toDecimal,
+      Seq("123.45", "-0.5", "1,234.56", ".5", "abc", "1,2,3"))
+    assert(got.map(v => if (v == null) null else v.toString) == Seq(
+      "123.450000000000000000", "-0.500000000000000000", "1234.560000000000000000",
+      "0.500000000000000000", null, null))
+  }
+
+  test("upper") {
+    assert(run(Converters.toUpperCase, Seq("abc", "aBc")) == Seq("ABC", "ABC"))
+  }
+}

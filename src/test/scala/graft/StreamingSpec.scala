@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stream.{OrderRepair, StreamDedup, ToolPair, TurnPos}
+
+/** Streaming semantics: order repair under out-of-order/late/duplicate
+  * arrival, watermark-driven state eviction, dedup-within-watermark, and
+  * stream-stream tool pairing (FIXTURES.md §5 scripts).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private def turn(conv: String, idx: Int, sec: Long, role: String = "user",
+                   text: String = "t", tool: String = null, pos: Long = 0): TurnPos =
+    TurnPos(conv, idx, role, text, tool, ts(sec), if (pos == 0) sec else pos)
+
+  private def runRepair(strict: Boolean, batches: Seq[Seq[TurnPos]]): Seq[(String, Int)] = {
+    implicit val enc = Encoders.product[TurnPos]
+    val ms = MemoryStream[TurnPos](enc, spark)
+    val repaired = OrderRepair.streaming(
+      ms.toDS().withWatermark("ts", "10 seconds"), strict = strict, gapMs = 30000L)
+    val name = s"repair_${strict}_${System.nanoTime()}"
+    val q = repaired.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))).toSeq.sorted
+  }
+
+  test("order repair (streaming): out-of-order within watermark emits contiguous runs") {
+    val got = runRepair(strict = true, Seq(
+      Seq(turn("a", 0, 1), turn("a", 2, 3)),  // gap at 1
+      Seq(turn("a", 1, 2)),                   // fills the gap → 1,2 emitted
+      Seq(turn("a", 3, 4))))
+    assert(got == Seq(("a", 0), ("a", 1), ("a", 2), ("a", 3)))
+  }
+
+  test("order repair (streaming): watermark timeout drops gapped suffix when strict") {
+    val got = runRepair(strict = true, Seq(
+      Seq(turn("a", 0, 1), turn("a", 2, 3)),       // a1 never arrives
+      Seq(turn("z", 0, 200)),                      // advances watermark to 190s
+      Seq(turn("z", 1, 201))))                     // timeout fires for conv a
+    assert(got == Seq(("a", 0), ("z", 0), ("z", 1))) // a2 dropped
+  }
+
+  test("order repair (streaming): timeout flushes sorted suffix when lenient") {
+    val got = runRepair(strict = false, Seq(
+      Seq(turn("a", 0, 1), turn("a", 3, 3), turn("a", 2, 2)),
+      Seq(turn("z", 0, 200)),
+      Seq(turn("z", 1, 201))))
+    assert(got == Seq(("a", 0), ("a", 2), ("a", 3), ("z", 0), ("z", 1))) // 2,3 flushed in order
+  }
+
+  test("order repair (streaming): duplicate keys keep min-pos winner") {
+    val got = runRepair(strict = true, Seq(
+      Seq(turn("a", 0, 1, pos = 10), turn("a", 0, 1, pos = 5)),
+      Seq(turn("a", 1, 2))))
+    assert(got == Seq(("a", 0), ("a", 1)))
+  }
+
+  test("order repair: streaming output equals batch output for the same input") {
+    import spark.implicits._
+    val all = Seq(
+      turn("a", 0, 1), turn("a", 2, 3), turn("a", 1, 2), turn("a", 3, 4),
+      turn("b", 1, 5), turn("b", 0, 6), // b fully arrives out of order
+      turn("c", 1, 7))                  // c never gets 0 → strict drops it
+    val streamed = runRepair(strict = true, Seq(all))
+    val batched = OrderRepair.batch(all.toDS(), strict = true)
+      .collect().map(t => (t.conv_id, t.turn_idx)).toSeq.sorted
+    assert(streamed == batched)
+    assert(!batched.contains(("c", 1)))
+  }
+
+  test("dedup within watermark drops later duplicates across micro-batches") {
+    implicit val enc = Encoders.product[TurnPos]
+    val ms = MemoryStream[TurnPos](enc, spark)
+    val dd = StreamDedup.dropWithinWatermark(ms.toDS().toDF(),
+      Seq("conv_id", "turn_idx"), "ts", "60 seconds")
+    val name = s"dedup_${System.nanoTime()}"
+    val q = dd.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString).start()
+    ms.addData(Seq(turn("a", 0, 1, text = "first"), turn("a", 1, 2)))
+    q.processAllAvailable()
+    ms.addData(Seq(turn("a", 0, 3, text = "dup"), turn("b", 0, 4)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect()
+    assert(rows.length == 3)
+    val a0 = rows.find(r => r.getAs[String]("conv_id") == "a" && r.getAs[Int]("turn_idx") == 0).get
+    assert(a0.getAs[String]("text") == "first") // first arrival won
+  }
+
+  test("tool pairing (streaming inner join) matches batch pairs") {
+    implicit val enc = Encoders.product[TurnPos]
+    val ms = MemoryStream[TurnPos](enc, spark)
+    val joined = ToolPair.streaming(ms.toDS().toDF(), maxDelay = "5 MINUTES",
+      watermark = "10 minutes", leftOuter = false)
+    val name = s"pair_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString).start()
+    val data = Seq(
+      turn("a", 0, 10, role = "assistant", tool = "search"),
+      turn("a", 1, 20, role = "tool", tool = "search"),       // pairs with call 0
+      turn("a", 2, 30, role = "assistant", tool = "calc"),    // unmatched call
+      turn("b", 0, 40, role = "assistant", tool = "search"),
+      turn("b", 1, 999, role = "tool", tool = "search"))      // too late (> 5 min)
+    ms.addData(data)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .select("conv_id", "call_turn_idx", "result_turn_idx", "latency_ms").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(streamed == Set(("a", 0, 1, 10000L)))
+    // batch flavor agrees on the matched subset
+    import spark.implicits._
+    val batchPairs = ToolPair.batch(data.toDF())
+      .filter(col("result_turn_idx").isNotNull)
+      .select("conv_id", "call_turn_idx", "result_turn_idx", "latency_ms").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(batchPairs == streamed)
+    // and flags the unmatched calls as nulls
+    assert(ToolPair.batch(data.toDF()).filter(col("result_turn_idx").isNull).count() == 2)
+  }
+}
