@@ -144,6 +144,15 @@ object ReferenceOps {
         .select(col("pos"), col("conv_id"), col("turn_idx"), col("role"), col("tool"))
     }),
 
+    "q_error_split" -> ((s, dir) => {
+      // The event-sink channel: errors are data — one row per LogEvent with
+      // the record key alongside (ErrorSplit = the reference's per-record
+      // event notification stream).
+      val piped = Pipeline(withConvFields(turns(s, dir)),
+        Seq(Required(Seq("text")), Conversion(Seq("bool_raw"), "boolean")))
+      graft.sink.ErrorSplit.split(piped, Seq("conv_id", "turn_idx"))._2
+    }),
+
     "q_pipeline_e2e" -> ((s, dir) => {
       val flow = Dataflow("transcripts")
         .withKeys("conv_id", "turn_idx")
@@ -269,6 +278,15 @@ object ReferenceOps {
       """SELECT pos, conv_id, turn_idx, role, tool FROM turns WHERE role = 'user'
         |UNION ALL
         |SELECT pos, conv_id, turn_idx, role, NULL AS tool FROM turns WHERE role = 'tool'""".stripMargin),
+
+    "q_error_split" -> (withConv +
+      s"""SELECT conv_id, turn_idx, true AS stop, 'ERROR' AS level,
+         |  'A value is required for the field [text]' AS description, text AS value
+         |FROM conv WHERE ${reqSql("text")}
+         |UNION ALL
+         |SELECT conv_id, turn_idx, true AS stop, 'ERROR' AS level,
+         |  'Unable to convert the data in field [bool_raw]' AS description, bool_raw AS value
+         |FROM conv WHERE NOT ${reqSql("text")} AND pos % 7 = 5""".stripMargin),
 
     "q_pipeline_e2e" -> (W +
       s"""SELECT conv_id, turn_idx,

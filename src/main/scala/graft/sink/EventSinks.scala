@@ -1,0 +1,61 @@
+package graft.sink
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Events
+
+/** The reference's event-sink channel (reference:
+  * src/Shipwright.Core/Dataflows/EventSinks/ConsoleEventSink.cs:16-95,
+  * AggregateEventSink.cs:34-79) re-expressed data-parallel: per-record
+  * events are DATA (the `events` column), so "sinking" them is a DataFrame
+  * split + writers, not a side channel.
+  */
+object ErrorSplit {
+
+  /** Split pipeline output into (valid rows, error rows). Error rows =
+    * one row per LogEvent, with the record key columns carried alongside —
+    * the record-completed notification stream of the reference's
+    * Dataflow.Handler terminus (Dataflow.cs:263-269).
+    */
+  def split(df: DataFrame, keyCols: Seq[String]): (DataFrame, DataFrame) = {
+    val valid = df.filter(!Events.stoppedCol)
+    val errors = df.filter(size(col(Events.col)) > 0)
+      .select(keyCols.map(col) :+ explode(col(Events.col)).as("event"): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("event.stop").as("stop"), col("event.level").as("level"),
+        col("event.description").as("description"), col("event.value").as("value")): _*)
+    (valid, errors)
+  }
+}
+
+/** Lifecycle notification sinks. The per-record volume goes through
+  * [[ErrorSplit]]; these receive the aggregate notifications (dataflow /
+  * source started & completed, per-batch error counts) like the reference's
+  * `IEventSinkHandler` with a MinimumLevel filter.
+  */
+trait EventSink extends Serializable {
+  def notify(level: String, message: String): Unit
+}
+
+class ConsoleEventSink(minimumLevel: String = "WARN") extends EventSink {
+  private val order = Map("DEBUG" -> 0, "INFO" -> 1, "WARN" -> 2, "ERROR" -> 3, "CRITICAL" -> 4)
+  def notify(level: String, message: String): Unit =
+    if (order.getOrElse(level, 1) >= order.getOrElse(minimumLevel, 2))
+      // scalastyle:off println
+      println(s"[$level] $message")
+      // scalastyle:on println
+}
+
+/** Fan-out to children, sequential (AggregateEventSink.cs:34-79). */
+class AggregateEventSink(children: Seq[EventSink]) extends EventSink {
+  def notify(level: String, message: String): Unit =
+    children.foreach(_.notify(level, message))
+}
+
+/** Test capture (the reference's FakeEventSink). */
+class CollectingEventSink extends EventSink {
+  val captured = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  def notify(level: String, message: String): Unit =
+    synchronized { captured += ((level, message)) }
+}

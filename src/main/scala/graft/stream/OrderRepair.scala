@@ -63,31 +63,41 @@ object OrderRepair {
     }
 
     val st = state.getOption.getOrElse(RepairState(0, Map.empty, Long.MinValue))
-    var buf = st.buffer
+    // Hot loop: mutable buffer per invocation (an immutable Map.updated per
+    // row allocates a trie node per turn — measurable GC churn at millions
+    // of rows per micro-batch); converted back to immutable only for the
+    // state encoder.
+    val buf = scala.collection.mutable.HashMap.empty[Int, TurnPos]
+    buf ++= st.buffer
     var maxTs = st.maxTs
     rows.foreach { r =>
-      maxTs = math.max(maxTs, r.ts.getTime)
+      val t = r.ts.getTime
+      if (t > maxTs) maxTs = t
       if (r.turn_idx >= st.nextIdx) {
-        buf.get(r.turn_idx) match {
-          case Some(prev) if prev.pos <= r.pos => // first (min-pos) wins
-          case _ => buf = buf.updated(r.turn_idx, r)
-        }
+        val prev = buf.getOrElse(r.turn_idx, null)
+        if (prev == null || prev.pos > r.pos) buf.update(r.turn_idx, r) // min-pos wins
       } // else: duplicate of an already-emitted turn — reference flags these
         // via UniqueFlag; the repair operator simply never re-emits a key.
     }
 
     val emitted = Vector.newBuilder[TurnPos]
     var next = st.nextIdx
-    while (buf.contains(next)) {
-      emitted += buf(next)
-      buf -= next
-      next += 1
+    var run = true
+    while (run) {
+      buf.remove(next) match {
+        case Some(t) => emitted += t; next += 1
+        case None => run = false
+      }
     }
 
     if (streaming) {
-      state.update(RepairState(next, buf, maxTs))
-      // Evict once the watermark passes last activity + gap.
-      state.setTimeoutTimestamp(maxTs + gapMs)
+      state.update(RepairState(next, buf.toMap, maxTs))
+      // Evict once the watermark passes last activity + gap. A conversation
+      // whose last event is already behind the advanced watermark (possible
+      // with unordered file ingestion) must still get a FUTURE timeout —
+      // Spark rejects timestamps at or before the current watermark.
+      state.setTimeoutTimestamp(
+        math.max(maxTs + gapMs, state.getCurrentWatermarkMs() + 1))
       emitted.result().iterator
     } else {
       // Batch: single invocation — end-of-data == final watermark.

@@ -1,0 +1,33 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hot-key (hot conversation) skew handling, per the north rule: salted
+  * repartitioning on conv_id plus AQE skew-join splitting.
+  *
+  *   - For stateless stages: [[repartitionSalted]] spreads a hot key over
+  *     `saltBuckets` partitions; downstream per-key aggregation runs
+  *     two-stage (partial on (key, salt), final on key) — see
+  *     CepOps.q_skew_salted_agg for the oracle-checked shape.
+  *   - For joins: enable AQE (`spark.sql.adaptive.enabled`,
+  *     `spark.sql.adaptive.skewJoin.enabled`) and let runtime re-planning
+  *     split oversized partitions; nothing to do per-query.
+  *   - For the stateful ops (order repair), per-key state REQUIRES all rows
+  *     of a conv in one partition — skew there is bounded by max turns per
+  *     conversation, which the generator's Zipf cap keeps modest; the salt
+  *     applies to the pre-shuffle map work, not the keyed state.
+  */
+object Skew {
+
+  def saltCol(key: String, saltBuckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(col(key), monotonically_increasing_id()), lit(saltBuckets))
+
+  /** Repartition by (key, salt) — same key lands on `saltBuckets` partitions
+    * deterministically spread by row identity.
+    */
+  def repartitionSalted(df: DataFrame, key: String, saltBuckets: Int): DataFrame =
+    df.withColumn("__salt", saltCol(key, saltBuckets))
+      .repartition(col(key), col("__salt"))
+      .drop("__salt")
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests — the scale contract. A query that silently
+  * loses its pushed filter, its broadcast, or its column pruning still
+  * passes row-equality at sf0.01 but dies at 100 TB; these assertions pin
+  * the physical plan properties the engine's performance story rests on.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_tpch_q1: filter pushed to parquet scan + column pruning + partial agg") {
+    val p = plan("q_tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_sum"))
+    // scan must not read all 11 lineitem columns
+    assert(!p.contains("l_partkey"), "column pruning lost: scan reads unused columns")
+  }
+
+  test("q_star_join: all three dimension joins broadcast, fact scanned once, pruned") {
+    val p = plan("q_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3)
+    assert(!p.contains("SortMergeJoin"))
+    assert("FileScan parquet \\[l_orderkey".r.findAllIn(p).size == 1)
+  }
+
+  test("q_lookup: exactly-one lookup compiles to a broadcast join, not per-row queries") {
+    val p = plan("q_lookup")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("transcript pipeline: one exchange (conv window), pruned events scan") {
+    val p = plan("q_required")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert(!p.contains("event_type"), "pruning lost: scan reads unused events columns")
+  }
+
+  test("q_ann_brute: query side broadcast — corpus never shuffles") {
+    val p = plan("q_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_skew_salted_agg: two aggregation stages (salted partial, final)") {
+    val p = plan("q_skew_salted_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 4) // 2 logical aggs × partial/final
+  }
+}
