@@ -141,6 +141,41 @@ object VectorOps {
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF: coarse centroids (every 100th vector = the "trained" coarse
+      // quantizer), every vector assigned to its nearest centroid by cosine
+      // (the inverted file), queries probe their 2 nearest cells and re-rank
+      // exactly within them. At scale the assignment is a broadcast of the
+      // centroid set (tiny) over the corpus — one map-side pass, no corpus
+      // shuffle; the probe search is an equi-join on cell id.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val c = broadcast(e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn")))
+      val scored = e.join(c)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+          (dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("csim"))
+      val wAsg = Window.partitionBy(col("vec_id"))
+        .orderBy(round(col("csim"), 9).desc, col("cid").asc)
+      val asg = scored.withColumn("__rn", row_number().over(wAsg))
+        .filter(col("__rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+      val probes = scored.filter(col("vec_id") % 50 === 0)
+        .withColumn("__rn", row_number().over(wAsg))
+        .filter(col("__rn") <= 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("cid").as("pcid"))
+      val pairs = asg.join(broadcast(probes),
+          col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cos"))
+        .distinct() // a neighbor can appear via both probed cells
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(round(col("cos"), 9).desc, col("nid").asc)
+      pairs.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       // Binary-column plumbing: text → utf-8 bytes as the opaque payload,
       // partition-wise decode (stub codec, real schema/batching).
@@ -198,6 +233,36 @@ object VectorOps {
          |  round(${dotSql.format("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cos_sim
          |FROM e x JOIN e y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
          |WHERE ${dotSql.format("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.99""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm FROM embeddings
+         |), c AS (
+         |  SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id % 100 = 0
+         |), scored AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+         |    ${dotSql.format("e.embedding", "c.ce")} / (e.nrm * c.cn) AS csim
+         |  FROM e, c
+         |), asg AS (
+         |  SELECT vec_id, embedding, nrm, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY round(csim, 9) DESC, cid ASC) AS rn FROM scored
+         |  ) WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn, cid AS pcid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY round(csim, 9) DESC, cid ASC) AS rn
+         |    FROM scored WHERE vec_id % 50 = 0
+         |  ) WHERE rn <= 2
+         |), pairs AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS nid,
+         |    ${dotSql.format("a.embedding", "p.qe")} / (a.nrm * p.qn) AS cos
+         |  FROM asg a JOIN probes p ON a.cid = p.pcid AND a.vec_id <> p.qid
+         |), r AS (
+         |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+         |    ORDER BY round(cos, 9) DESC, nid ASC) AS rank FROM pairs
+         |)
+         |SELECT qid, rank, nid, round(cos, 6) AS cos_sim FROM r WHERE rank <= 5""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -14,32 +14,35 @@ import org.apache.spark.sql.functions._
   *
   * The north rule asks for Iceberg MERGE INTO; no Iceberg/Delta runtime
   * exists in this sandbox (see BASELINE.md), so the same contract is
-  * realized over a versioned-Parquet key-value table:
+  * realized Iceberg-style over hash-bucketed parquet with a manifest:
   *
-  *   - table dir contains `v{N}/` snapshots + a `_current` pointer file
-  *   - merge(batch) = read current ∪ batch, keep newest per key
-  *     (batch wins over current; within a batch, max `pos` wins), write
-  *     `v{N+1}`, atomically flip `_current`
-  *   - idempotence: `_commits` records applied batch ids; a re-delivered
-  *     micro-batch (same batchId after restart) is skipped, so
+  *   - the table is `numBuckets` hash-buckets of the key; a manifest maps
+  *     bucket → current data directory (Iceberg's manifest-of-data-files,
+  *     one entry per bucket)
+  *   - merge(batch) touches ONLY the buckets containing batch keys: read
+  *     those buckets ∪ batch, keep newest per key (batch beats current;
+  *     within a batch, max `versionCol` wins), write replacement bucket
+  *     dirs, publish a new manifest that references the untouched buckets'
+  *     existing dirs — a partition-scoped merge, not a table rewrite
+  *   - commit = write `_manifest.{N}`, atomically flip `_current`; the
+  *     `_commits` journal records applied batch ids, so a re-delivered
+  *     micro-batch (same batchId after restart) is a no-op:
   *     foreachBatch + checkpoint ⇒ exactly-once
   *
-  * The interface is isolated so a real Iceberg catalog drops in where the
-  * jar exists (MERGE INTO … ON key WHEN MATCHED UPDATE WHEN NOT MATCHED
-  * INSERT).
-  *
-  * Scale note: rewriting the full table per batch is the sandbox stand-in;
-  * with Iceberg the same plan becomes a partition-scoped merge-on-read.
-  * Partitioning by bucket(conv_id) keeps the merge shuffle aligned with the
-  * stream's keying.
+  * At 10^12-turn scale the bucket count rises with the key cardinality and
+  * the per-batch work stays proportional to the batch's key spread, exactly
+  * like Iceberg's merge-on-read partition pruning. A real Iceberg catalog
+  * drops in behind the same merge(batch, batchId) interface.
   */
-class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String) {
+class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
+                numBuckets: Int = 16) {
 
   private val root = Paths.get(tableDir)
   Files.createDirectories(root)
 
   private def currentPtr: Path = root.resolve("_current")
   private def commitsPtr: Path = root.resolve("_commits")
+  private def manifestPath(v: Long): Path = root.resolve(s"_manifest.$v")
 
   def currentVersion: Long =
     if (Files.exists(currentPtr)) Files.readString(currentPtr).trim.toLong else -1L
@@ -49,13 +52,24 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String) {
       Files.readString(commitsPtr).split("\n").filter(_.nonEmpty).map(_.toLong).toSet
     else Set.empty
 
+  /** bucket → data dir (relative to root). */
+  private def readManifest(v: Long): Map[Int, String] =
+    if (v < 0 || !Files.exists(manifestPath(v))) Map.empty
+    else Files.readString(manifestPath(v)).split("\n").filter(_.nonEmpty).map { line =>
+      val Array(b, dir) = line.split("\t")
+      b.toInt -> dir
+    }.toMap
+
+  private def bucketCol = pmod(hash(keyCols.map(col): _*), lit(numBuckets))
+
   def read(spark: SparkSession): DataFrame = {
-    val v = currentVersion
-    if (v < 0) spark.emptyDataFrame
-    else spark.read.parquet(root.resolve(s"v$v").toString)
+    val dirs = readManifest(currentVersion).values.toSeq.distinct
+      .map(d => root.resolve(d).toString)
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs: _*).drop("__bucket")
   }
 
-  def isEmpty: Boolean = currentVersion < 0
+  def isEmpty: Boolean = readManifest(currentVersion).isEmpty
 
   /** Idempotent keyed merge of one micro-batch. Safe to call from
     * `foreachBatch`; re-delivery of an applied batchId is a no-op.
@@ -64,36 +78,67 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String) {
     if (committedBatches.contains(batchId)) return
     val spark = batch.sparkSession
     val v = currentVersion
+    val manifest = readManifest(v)
+
     val keyed = batch
-      // newest-wins within the batch (deterministic by versionCol)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)))
       .filter(col("__rn") === 1).drop("__rn")
-      .withColumn("__gen", lit(1))
+      .withColumn("__bucket", bucketCol)
+
+    val touched = keyed.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) { journal(v, manifest, batchId); return }
+
+    // current rows of ONLY the touched buckets (partition-scoped read)
+    val touchedDirs = manifest.filter { case (b, _) => touched.contains(b) }
+      .values.toSeq.distinct.map(d => root.resolve(d).toString)
     val merged =
-      if (v < 0) keyed.drop("__gen")
+      if (touchedDirs.isEmpty) keyed
       else {
-        val cur = read(spark).withColumn("__gen", lit(0))
-        cur.unionByName(keyed)
+        // manifest entries point INSIDE __bucket=b partition dirs, so the
+        // read is already bucket-scoped; the partition column is not in the
+        // files — recompute it for the union/write
+        val cur = spark.read.parquet(touchedDirs: _*)
+          .withColumn("__bucket", bucketCol)
+          .withColumn("__gen", lit(0))
+        cur.unionByName(keyed.withColumn("__gen", lit(1)))
           .withColumn("__rn", row_number().over(
             Window.partitionBy(keyCols.map(col): _*)
               .orderBy(col("__gen").desc))) // batch row beats current row
           .filter(col("__rn") === 1).drop("__rn", "__gen")
       }
+
     val next = v + 1
-    val target = root.resolve(s"v$next")
-    merged.write.mode(SaveMode.Overwrite).parquet(target.toString)
-    // atomic pointer flip, then journal the batch id
+    val dataDir = s"data_v$next"
+    merged
+      .repartition(math.min(touched.size, numBuckets), col("__bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+      .parquet(root.resolve(dataDir).toString)
+
+    val newManifest = manifest.filterNot { case (b, _) => touched.contains(b) } ++
+      touched.map(b => b -> s"$dataDir/__bucket=$b")
+    journal(next, newManifest, batchId)
+    gc(newManifest)
+  }
+
+  private def journal(version: Long, manifest: Map[Int, String], batchId: Long): Unit = {
+    Files.writeString(manifestPath(version),
+      manifest.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" }.mkString("", "\n", "\n"))
     val tmp = root.resolve("_current.tmp")
-    Files.writeString(tmp, next.toString)
+    Files.writeString(tmp, version.toString)
     Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     Files.writeString(commitsPtr,
       (committedBatches + batchId).toSeq.sorted.mkString("", "\n", "\n"))
-    // GC superseded snapshots (keep previous for readers mid-swap)
-    (0L to v - 1).foreach { old =>
-      val p = root.resolve(s"v$old")
-      if (Files.exists(p)) try deleteRecursively(p) catch { case NonFatal(_) => }
+  }
+
+  /** Remove data dirs no manifest entry references (keep the live set). */
+  private def gc(live: Map[Int, String]): Unit = {
+    val liveDirs = live.values.map(_.split("/").head).toSet
+    Option(root.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory && f.getName.startsWith("data_v") && !liveDirs.contains(f.getName))
+        try deleteRecursively(f.toPath) catch { case NonFatal(_) => }
     }
   }
 

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stream.{OrderRepair, TurnPos}
+
+/** Checkpoint-resume semantics (north rule: "the job resumes exactly-once
+  * from any checkpoint"): the order-repair state — nextIdx and the
+  * out-of-order buffer — must survive a query restart, and windowed
+  * aggregations must run as a streaming query with watermark-driven append.
+  */
+class ResumeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+  private def turn(conv: String, idx: Int, sec: Long): TurnPos =
+    TurnPos(conv, idx, "user", s"t$idx", null, ts(sec), sec)
+
+  test("order repair state survives checkpoint restart") {
+    implicit val enc = Encoders.product[TurnPos]
+    val ckpt = Files.createTempDirectory("repair_ckpt").toString
+    val ms = MemoryStream[TurnPos](enc, spark)
+    val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+    // memory sink cannot recover from a checkpoint — collect via
+    // foreachBatch, which can
+    def start() = OrderRepair.streaming(
+      ms.toDS().withWatermark("ts", "10 seconds"), strict = true, gapMs = 60000L)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[TurnPos], _: Long) =>
+        b.collect().foreach(t => emitted.add(t.turn_idx))
+      }.start()
+
+    // run 1: turn 0 emitted, turn 2 buffered (gap at 1), then "crash"
+    val q1 = start()
+    ms.addData(Seq(turn("a", 0, 1), turn("a", 2, 3)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(emitted.size == 1)
+
+    // run 2: the gap-filling turn arrives; buffered turn 2 must still be in
+    // state for the contiguous run 1,2,3 to emit
+    val q2 = start()
+    ms.addData(Seq(turn("a", 1, 2), turn("a", 3, 4)))
+    q2.processAllAvailable()
+    q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSeq.sorted == Seq(0, 1, 2, 3))
+  }
+
+  test("tumbling window aggregation runs as a streaming query (append on watermark)") {
+    implicit val enc = Encoders.product[TurnPos]
+    val ms = MemoryStream[TurnPos](enc, spark)
+    val agg = ms.toDS().toDF()
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("conv_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("conv_id"), col("n"))
+    val name = s"win_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString).start()
+    // minute 0: three turns; then jump past the watermark so it closes
+    ms.addData(Seq(turn("a", 0, 10), turn("a", 1, 20), turn("b", 0, 30)))
+    q.processAllAvailable()
+    ms.addData(Seq(turn("a", 2, 200)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Long]("n"))).toSet
+    assert(rows == Set(("a", 2L), ("b", 1L))) // minute-0 window appended once closed
+  }
+}
