@@ -60,10 +60,14 @@ object ToolPair {
     */
   def streaming(turns: DataFrame, maxDelay: String = "5 MINUTES",
                 watermark: String = "10 minutes", leftOuter: Boolean = false): DataFrame = {
-    val c = calls(turns.withWatermark("ts", watermark))
-      .withWatermark("call_ts", watermark)
-    val r = results(turns.withWatermark("ts", watermark))
-      .withWatermark("result_ts", watermark)
+    // Watermark BEFORE the role filters: each side's watermark must advance
+    // from the full stream's event time, not just its own filtered rows —
+    // with a post-filter watermark, a quiet side pins the global (min)
+    // watermark at its last event and outer-join state never evicts. The
+    // select alias (ts → call_ts/result_ts) carries the event-time tag.
+    val wm = turns.withWatermark("ts", watermark)
+    val c = calls(wm)
+    val r = results(wm)
     c.join(r, joinCond(maxDelay), if (leftOuter) "leftOuter" else "inner")
       .drop("r_conv_id", "r_tool")
       .withColumn("latency_ms", latencyMs)

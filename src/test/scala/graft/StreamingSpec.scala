@@ -102,6 +102,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(a0.getAs[String]("text") == "first") // first arrival won
   }
 
+  test("tool pairing (streaming left-outer): unmatched call emits null row once watermark passes") {
+    implicit val enc = Encoders.product[TurnPos]
+    val ms = MemoryStream[TurnPos](enc, spark)
+    val joined = ToolPair.streaming(ms.toDS().toDF(), maxDelay = "1 MINUTES",
+      watermark = "1 minutes", leftOuter = true)
+    val name = s"pair_outer_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString).start()
+    ms.addData(Seq(
+      turn("a", 0, 10, role = "assistant", tool = "search"),
+      turn("a", 1, 20, role = "tool", tool = "search"),
+      turn("a", 2, 30, role = "assistant", tool = "calc"))) // never answered
+    q.processAllAvailable()
+    // advance the watermark far past call_ts + maxDelay so the outer side flushes
+    ms.addData(Seq(turn("z", 0, 2000, role = "tool", tool = "zzz")))
+    q.processAllAvailable()
+    ms.addData(Seq(turn("z", 1, 3000, role = "tool", tool = "zzz")))
+    q.processAllAvailable()
+    ms.addData(Seq(turn("z", 2, 4000, role = "tool", tool = "zzz")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .select(col("call_turn_idx"), col("result_turn_idx")).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSet
+    assert(rows == Set((0, 1), (2, -1))) // matched pair + null-padded unmatched call
+  }
+
   test("tool pairing (streaming inner join) matches batch pairs") {
     implicit val enc = Encoders.product[TurnPos]
     val ms = MemoryStream[TurnPos](enc, spark)
