@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stream.{OrderRepair, TurnPos}
+import graft.transform.Converters
+
+/** Property-based invariants (SURVEY §5: ScalaCheck where a property is
+  * natural). Column functions are exercised through Spark on generated
+  * batches; the order-repair invariant runs the real fMGWS in batch mode
+  * over random permutations with random gaps and duplicates.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic forAll-lite over raw ScalaCheck generators (the
+    * scalatest-scalacheck bridge is not in the offline cache).
+    */
+  private def forAll[A](gen: Gen[A], n: Int = 20)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private def viaSpark(fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                       inputs: Seq[String]): Seq[Option[String]] =
+    inputs.toDF("v").select(fn(col("v")).cast("string"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+
+  test("ssn: output is always canonical ###-##-#### or null; formatting is idempotent") {
+    forAll(Gen.listOfN(30, Gen.asciiPrintableStr)) { raw =>
+      val once = viaSpark(Converters.toSsn, raw)
+      once.flatten.foreach(s => assert(s.matches("\\d{3}-\\d{2}-\\d{4}")))
+      // feeding canonical output back through the converter is identity
+      val formatted = once.flatten
+      if (formatted.nonEmpty)
+        assert(viaSpark(Converters.toSsn, formatted).flatten == formatted)
+    }
+  }
+
+  test("truncate: result length ≤ n, and is a prefix; idempotent") {
+    forAll(Gen.zip(Gen.listOfN(20, Gen.asciiPrintableStr), Gen.choose(1, 12))) { case (raw, n) =>
+      val out = raw.toDF("v")
+        .select(when(length(col("v")) > n, substring(col("v"), 1, n))
+          .otherwise(col("v")).as("t"))
+        .collect().map(_.getString(0)).toSeq
+      out.zip(raw).foreach { case (t, r) =>
+        assert(t.length <= math.max(n, r.length))
+        assert(r.startsWith(t))
+      }
+    }
+  }
+
+  test("boolean converter: never throws, only true/false/null, case-insensitive") {
+    forAll(Gen.listOfN(30, Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf("true", "FALSE", "Yes", "nO", "y", "N", "0", "1", " TRUE ")))) { raw =>
+      val lower = viaSpark(Converters.toBoolean, raw.map(_.toLowerCase))
+      val upper = viaSpark(Converters.toBoolean, raw.map(_.toUpperCase))
+      assert(lower == upper) // case-insensitive by construction
+    }
+  }
+
+  test("order repair (strict): emits exactly the longest contiguous prefix, min-pos per key, sorted") {
+    val genConv = for {
+      n <- Gen.choose(1, 25)
+      present <- Gen.listOfN(n, Gen.choose(0, 29)).map(_.distinct)
+      dups <- Gen.someOf(present)
+    } yield (present, dups.toList)
+
+    forAll(genConv) { case (present, dups) =>
+      val turns = present.map(i =>
+        TurnPos("c", i, "user", s"t$i", null, new Timestamp(i * 1000L), i.toLong)) ++
+        dups.map(i =>
+          TurnPos("c", i, "user", "DUP", null, new Timestamp(i * 1000L), 1000L + i))
+      val shuffled = new scala.util.Random(42).shuffle(turns)
+      val out = OrderRepair.batch(shuffled.toDS(), strict = true).collect().toSeq
+
+      val expectPrefix = Iterator.from(0).takeWhile(present.contains).toSeq
+      assert(out.map(_.turn_idx) == expectPrefix)          // contiguous from 0, sorted
+      assert(out.forall(_.text != "DUP"))                  // min-pos (original) wins
+    }
+  }
+
+  test("order repair (flush): emits every distinct key exactly once, sorted, min-pos winner") {
+    forAll(Gen.listOfN(20, Gen.choose(0, 15))) { idxs =>
+      val turns = idxs.zipWithIndex.map { case (i, k) =>
+        TurnPos("c", i, "user", s"v$k", null, new Timestamp(i * 1000L), k.toLong)
+      }
+      val out = OrderRepair.batch(turns.toDS(), strict = false).collect().toSeq
+      assert(out.map(_.turn_idx) == idxs.distinct.sorted)
+      // winner for each key is the first (min pos) generated occurrence
+      idxs.zipWithIndex.groupBy(_._1).foreach { case (idx, occ) =>
+        val winner = out.find(_.turn_idx == idx).get
+        assert(winner.pos == occ.map(_._2).min.toLong)
+      }
+    }
+  }
+}
