@@ -69,7 +69,11 @@ object RelOps {
     // Strict CSV source (no parquet oracle — exercised by CsvSourceSpec
     // against the reference's golden fixtures).
     "q_csv_source" -> ((s, dir) => {
-      val fixture = new java.io.File("src/test/resources/csv/ValidFile.csv")
+      val fixture = Seq(
+        "src/test/resources/csv/ValidFile.csv",
+        "/root/repo/src/test/resources/csv/ValidFile.csv")
+        .map(new java.io.File(_)).find(_.exists())
+        .getOrElse(new java.io.File("src/test/resources/csv/ValidFile.csv"))
       graft.source.CsvStrictSource.read(s, fixture.getAbsolutePath).df
     })
   )

@@ -23,11 +23,16 @@ object Skew {
   def saltCol(key: String, saltBuckets: Int): org.apache.spark.sql.Column =
     pmod(hash(col(key), monotonically_increasing_id()), lit(saltBuckets))
 
-  /** Repartition by (key, salt) — same key lands on `saltBuckets` partitions
-    * deterministically spread by row identity.
+  /** Repartition by (key, salt) — same key spreads over up to `saltBuckets`
+    * of the `numPartitions` output partitions (hash of the composite key,
+    * so distinct salts may collide; raise saltBuckets ≥ 2× the partition
+    * count for a near-uniform spread of one hot key).
     */
-  def repartitionSalted(df: DataFrame, key: String, saltBuckets: Int): DataFrame =
-    df.withColumn("__salt", saltCol(key, saltBuckets))
-      .repartition(col(key), col("__salt"))
+  def repartitionSalted(df: DataFrame, key: String, saltBuckets: Int,
+                        numPartitions: Option[Int] = None): DataFrame = {
+    val salted = df.withColumn("__salt", saltCol(key, saltBuckets))
+    numPartitions.map(n => salted.repartition(n, col(key), col("__salt")))
+      .getOrElse(salted.repartition(col(key), col("__salt")))
       .drop("__salt")
+  }
 }

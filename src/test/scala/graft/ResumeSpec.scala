@@ -55,6 +55,55 @@ class ResumeSpec extends AnyFunSuite {
     assert(emitted.asScala.toSeq.sorted == Seq(0, 1, 2, 3))
   }
 
+  test("session window aggregation runs as a streaming query") {
+    implicit val enc = Encoders.product[TurnPos]
+    val ms = MemoryStream[TurnPos](enc, spark)
+    val agg = ms.toDS().toDF()
+      .withWatermark("ts", "5 seconds")
+      .groupBy(session_window(col("ts"), "30 seconds"), col("conv_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"), col("conv_id"), col("n"))
+    val name = s"sess_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString).start()
+    // session 1: turns at 10,20 (gap < 30s); session 2 at 100; close via 1000
+    ms.addData(Seq(turn("a", 0, 10), turn("a", 1, 20), turn("a", 2, 100)))
+    q.processAllAvailable()
+    ms.addData(Seq(turn("z", 0, 1000)))
+    q.processAllAvailable()
+    ms.addData(Seq(turn("z", 1, 2000)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect()
+      .filter(_.getAs[String]("conv_id") == "a")
+      .map(r => r.getAs[Long]("n")).sorted.toSeq
+    assert(rows == Seq(1L, 2L)) // two sessions: {10,20} and {100}
+  }
+
+  test("sliding window assigns each event to both overlapping windows") {
+    implicit val enc = Encoders.product[TurnPos]
+    val ms = MemoryStream[TurnPos](enc, spark)
+    val agg = ms.toDS().toDF()
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "2 minutes", "1 minute"), col("conv_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("conv_id"), col("n"))
+    val name = s"slide_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString).start()
+    ms.addData(Seq(turn("a", 0, 70))) // minute 1 → windows starting at 0:00 and 1:00
+    q.processAllAvailable()
+    ms.addData(Seq(turn("z", 0, 2000)))
+    q.processAllAvailable()
+    ms.addData(Seq(turn("z", 1, 3000)))
+    q.processAllAvailable()
+    q.stop()
+    val starts = spark.table(name).collect()
+      .filter(_.getAs[String]("conv_id") == "a")
+      .map(r => r.getAs[Timestamp]("w_start").getTime / 1000).sorted.toSeq
+    assert(starts == Seq(0L, 60L))
+  }
+
   test("tumbling window aggregation runs as a streaming query (append on watermark)") {
     implicit val enc = Encoders.product[TurnPos]
     val ms = MemoryStream[TurnPos](enc, spark)
