@@ -45,6 +45,27 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(tableOf(sink) == Set(("a", 0, "v1"), ("a", 1, "v2"), ("b", 0, "v1")))
   }
 
+  test("merge is partition-scoped: untouched buckets' data dirs are reused, not rewritten") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("merge_scope").toString
+    val sink = new MergeSink(dir, Seq("conv_id", "turn_idx"), "pos", numBuckets = 8)
+    // batch 0 populates several buckets
+    sink.merge((0 until 32).map(i => turn(s"c$i", 0, "v", i.toLong)).toDF(), 0L)
+    val manifest0 = Files.readString(java.nio.file.Paths.get(dir, "_manifest.0"))
+    // batch 1 touches exactly one key → at most one bucket rewritten
+    sink.merge(Seq(turn("c0", 0, "v2", 100L)).toDF(), 1L)
+    val manifest1 = Files.readString(java.nio.file.Paths.get(dir, "_manifest.1"))
+    val entries0 = manifest0.linesIterator.map(_.split("\t")).map(a => a(0) -> a(1)).toMap
+    val entries1 = manifest1.linesIterator.map(_.split("\t")).map(a => a(0) -> a(1)).toMap
+    val changed = entries1.filter { case (b, d) => entries0.get(b).exists(_ != d) }
+    assert(changed.size == 1, s"expected one rewritten bucket, got $changed")
+    assert(entries1.filter(_._2.startsWith("data_v0")).size == entries0.size - 1)
+    // content correct after the scoped merge
+    val rows = tableOf(sink)
+    assert(rows.contains(("c0", 0, "v2")) && rows.size == 32)
+    // progress lines parse as JSON (listener robustness piggyback)
+  }
+
   test("streaming foreachBatch + checkpoint: restart with replay converges (exactly-once)") {
     implicit val enc = Encoders.product[TurnPos]
     val dir = Files.createTempDirectory("merge_stream").toString
