@@ -47,11 +47,17 @@ object CepOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // The TurnPos round-trip (java.sql.Timestamp encoder) makes ts
+    // UTC-adjusted; cast back to NTZ so the parquet output matches the
+    // oracle's naive timestamps byte-for-byte regardless of how the driver
+    // normalizes time zones.
     "q_order_repair" -> ((s, dir) =>
-      OrderRepair.batch(dirtyTurns(s, dir).as[TurnPos], strict = true).toDF()),
+      OrderRepair.batch(dirtyTurns(s, dir).as[TurnPos], strict = true).toDF()
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))),
 
     "q_order_repair_flush" -> ((s, dir) =>
-      OrderRepair.batch(dirtyTurns(s, dir).as[TurnPos], strict = false).toDF()),
+      OrderRepair.batch(dirtyTurns(s, dir).as[TurnPos], strict = false).toDF()
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))),
 
     "q_dedup_keep_first" -> ((s, dir) => {
       // Batch analog of dropDuplicatesWithinWatermark: min-pos winner per key

@@ -112,8 +112,10 @@ object ReferenceOps {
         col("pos"), col("dec_raw").as("dec_val"))),
 
     "q_conv_datetime" -> ((s, dir) =>
+      // try_to_timestamp yields an LTZ timestamp; emit NTZ to match the
+      // oracle's naive timestamps independent of driver tz normalization
       out(Pipeline(withConvFields(turns(s, dir)), Seq(Conversion(Seq("dt_raw"), "datetime"))),
-        col("pos"), col("dt_raw").as("dt_val"))),
+        col("pos"), col("dt_raw").cast("timestamp_ntz").as("dt_val"))),
 
     "q_conv_date" -> ((s, dir) =>
       out(Pipeline(withConvFields(turns(s, dir)), Seq(Conversion(Seq("dt_raw"), "date"))),
