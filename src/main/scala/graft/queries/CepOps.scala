@@ -183,7 +183,10 @@ object CepOps {
         |FROM y GROUP BY user_id, sid""".stripMargin,
 
     "q_skew_salted_agg" -> (W +
-      """SELECT conv_id, count(*) AS n_turns, sum(length(text)) AS total_chars
+      // DuckDB sum(BIGINT) yields HUGEINT (int128) — cast back to BIGINT so
+      // the type hashes like Spark's LONG sum.
+      """SELECT conv_id, count(*) AS n_turns,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM turns GROUP BY conv_id""".stripMargin)
   )
 }

@@ -108,8 +108,11 @@ object ReferenceOps {
         col("pos"), col("bool_raw").as("bool_val"))),
 
     "q_conv_decimal" -> ((s, dir) =>
+      // decimal(38,18) bytes differ between Spark parquet and DuckDB under
+      // the driver's hasher — emit double (the repo-wide cast-at-the-end
+      // convention, e.g. q_tpch_q1) so both engines hash identically.
       out(Pipeline(withConvFields(turns(s, dir)), Seq(Conversion(Seq("dec_raw"), "decimal"))),
-        col("pos"), col("dec_raw").as("dec_val"))),
+        col("pos"), col("dec_raw").cast("double").as("dec_val"))),
 
     "q_conv_datetime" -> ((s, dir) =>
       // try_to_timestamp yields an LTZ timestamp; emit NTZ to match the
@@ -222,9 +225,9 @@ object ReferenceOps {
 
     "q_conv_decimal" -> (withConv +
       """SELECT pos,
-        |  CASE WHEN pos % 5 = 0 THEN CAST('123.45' AS DECIMAL(38,18))
+        |  CAST(CASE WHEN pos % 5 = 0 THEN CAST('123.45' AS DECIMAL(38,18))
         |       WHEN pos % 5 = 1 THEN CAST('-0.5' AS DECIMAL(38,18))
-        |       WHEN pos % 5 = 2 THEN CAST('1234.56' AS DECIMAL(38,18)) END AS dec_val,
+        |       WHEN pos % 5 = 2 THEN CAST('1234.56' AS DECIMAL(38,18)) END AS DOUBLE) AS dec_val,
         |  CASE WHEN pos % 5 = 3 THEN 1 ELSE 0 END AS n_events,
         |  (pos % 5 = 3) AS stopped
         |FROM conv""".stripMargin),

@@ -25,14 +25,15 @@ object RelOps {
     }),
 
     "q_star_join" -> ((s, dir) => {
-      // Star join: fact lineitem ⋈ orders ⋈ customer ⋈ nation with the three
-      // dimension sides broadcast — zero shuffle of the fact table beyond
-      // the final aggregation.
+      // Star join: the true dimensions (customer, nation) are broadcast;
+      // orders is fact-proportional (~0.4× lineitem rows) — broadcasting it
+      // OOMs every executor at 100 TB, so lineitem ⋈ orders is left to
+      // Catalyst/AQE (shuffle join at scale, auto-broadcast when tiny).
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       val o = s.read.parquet(s"$dir/orders.parquet")
       val c = s.read.parquet(s"$dir/customer.parquet")
       val n = s.read.parquet(s"$dir/nation.parquet")
-      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))

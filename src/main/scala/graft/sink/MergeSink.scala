@@ -47,9 +47,13 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
   def currentVersion: Long =
     if (Files.exists(currentPtr)) Files.readString(currentPtr).trim.toLong else -1L
 
+  // Tolerate a truncated/garbled trailing line (crash mid-write before the
+  // journal became tmp+atomic-move): an unparsable id is simply not
+  // committed, so the batch re-merges idempotently instead of wedging.
   private def committedBatches: Set[Long] =
     if (Files.exists(commitsPtr))
-      Files.readString(commitsPtr).split("\n").filter(_.nonEmpty).map(_.toLong).toSet
+      Files.readString(commitsPtr).split("\n")
+        .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
     else Set.empty
 
   /** bucket → data dir (relative to root). */
@@ -129,8 +133,13 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
     Files.writeString(tmp, version.toString)
     Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    Files.writeString(commitsPtr,
+    // _commits gets the same tmp + atomic-move discipline as _current: a
+    // crash mid-write must never leave a torn journal.
+    val ctmp = root.resolve("_commits.tmp")
+    Files.writeString(ctmp,
       (committedBatches + batchId).toSeq.sorted.mkString("", "\n", "\n"))
+    Files.move(ctmp, commitsPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Remove data dirs no manifest entry references (keep the live set). */

@@ -20,17 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  def saltCol(key: String, saltBuckets: Int): org.apache.spark.sql.Column =
-    pmod(hash(col(key), monotonically_increasing_id()), lit(saltBuckets))
+  /** Deterministic salt: derived from the key plus a caller-supplied stable
+    * tiebreaker column (e.g. turn position). A nondeterministic salt such as
+    * `monotonically_increasing_id()`/`rand()` is the classic
+    * repartition-correctness hazard: a recomputed map task after shuffle-
+    * fetch failure produces DIFFERENT salt values than the lost output, so
+    * rows duplicate or vanish. Requiring the tiebreaker keeps retries
+    * bit-identical.
+    */
+  def saltCol(key: String, tiebreaker: org.apache.spark.sql.Column,
+              saltBuckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(col(key), tiebreaker), lit(saltBuckets))
 
   /** Repartition by (key, salt) — same key spreads over up to `saltBuckets`
     * of the `numPartitions` output partitions (hash of the composite key,
     * so distinct salts may collide; raise saltBuckets ≥ 2× the partition
     * count for a near-uniform spread of one hot key).
     */
-  def repartitionSalted(df: DataFrame, key: String, saltBuckets: Int,
+  def repartitionSalted(df: DataFrame, key: String,
+                        tiebreaker: org.apache.spark.sql.Column,
+                        saltBuckets: Int,
                         numPartitions: Option[Int] = None): DataFrame = {
-    val salted = df.withColumn("__salt", saltCol(key, saltBuckets))
+    val salted = df.withColumn("__salt", saltCol(key, tiebreaker, saltBuckets))
     numPartitions.map(n => salted.repartition(n, col(key), col("__salt")))
       .getOrElse(salted.repartition(col(key), col("__salt")))
       .drop("__salt")

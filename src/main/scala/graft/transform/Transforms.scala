@@ -247,8 +247,15 @@ object Pipeline {
       val rawKey = to_json(struct(keys.map(k => col(k).cast(StringType)): _*))
       val key = if (caseSensitive) rawKey else upper(rawKey)
       // Stopped/ungated rows never reach the handler in the reference, so
-      // they neither register keys nor get flagged: null partition key.
+      // they neither register keys nor get flagged. A single sentinel key
+      // for ALL of them would funnel every stopped row through one window
+      // partition (a one-reducer hot spot in exactly the high-error
+      // pipelines this operator serves) — instead they get a salted junk
+      // key, spreading them over the shuffle; `dup` requires `g`, so junk
+      // partitions can never flag. Junk keys ("__x…") cannot collide with
+      // real keys (JSON objects, "{"-prefixed).
       val eligKey = when(g, key)
+        .otherwise(concat(lit("__x"), pmod(col(posCol), lit(1024)).cast(StringType)))
       val w = Window.partitionBy(eligKey).orderBy(col(posCol))
       val firstPos = first(col(posCol)).over(w)
       val dup = g && eligKey.isNotNull && col(posCol) =!= firstPos

@@ -22,11 +22,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_partkey"), "column pruning lost: scan reads unused columns")
   }
 
-  test("q_star_join: all three dimension joins broadcast, fact scanned once, pruned") {
-    val p = plan("q_star_join")
-    assert("BroadcastHashJoin".r.findAllIn(p).size == 3)
-    assert(!p.contains("SortMergeJoin"))
-    assert("FileScan parquet \\[l_orderkey".r.findAllIn(p).size == 1)
+  test("q_star_join: dims broadcast, orders NOT broadcast at scale, fact scanned once") {
+    // Simulate 100 TB ("nothing fits the auto-broadcast threshold"): the
+    // customer/nation hints must survive, the fact-sized orders side must
+    // compile to a shuffle join, never a broadcast.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val p = plan("q_star_join")
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+        "exactly customer+nation broadcast")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "lineitem ⋈ orders must be a shuffle join at scale")
+      assert("FileScan parquet \\[l_orderkey".r.findAllIn(p).size == 1)
+    } finally spark.conf.set(thresholdKey, saved)
   }
 
   test("q_lookup: exactly-one lookup compiles to a broadcast join, not per-row queries") {
