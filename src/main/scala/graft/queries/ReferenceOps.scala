@@ -128,6 +128,14 @@ object ReferenceOps {
       out(Pipeline(withConvFields(turns(s, dir)), Seq(Conversion(Seq("ssn_raw"), "ssn"))),
         col("pos"), col("ssn_raw").as("ssn_val"))),
 
+    "q_conv_gated" -> ((s, dir) =>
+      // Conversion nested under Conditional: non-matching rows must keep
+      // their ORIGINAL value (the column stays string) — the reference
+      // leaves unconverted records untouched.
+      out(Pipeline(withConvFields(turns(s, dir)),
+        Seq(Conditional(col("role") === "user", Seq(Conversion(Seq("dec_raw"), "decimal"))))),
+        col("pos"), col("role"), col("dec_raw").as("dec_val"))),
+
     "q_unique_flag" -> ((s, dir) =>
       out(Pipeline(turns(s, dir),
         Seq(UniqueFlag(Seq("conv_id", "role", "tool")))),
@@ -255,6 +263,17 @@ object ReferenceOps {
         |       WHEN pos % 4 = 2 THEN '987-65-4321' END AS ssn_val,
         |  CASE WHEN pos % 4 = 3 THEN 1 ELSE 0 END AS n_events,
         |  (pos % 4 = 3) AS stopped
+        |FROM conv""".stripMargin),
+
+    "q_conv_gated" -> (withConv +
+      """SELECT pos, role,
+        |  CASE WHEN pos % 3 = 0 THEN
+        |    CASE WHEN pos % 5 = 0 THEN '123.450000000000000000'
+        |         WHEN pos % 5 = 1 THEN '-0.500000000000000000'
+        |         WHEN pos % 5 = 2 THEN '1234.560000000000000000' END
+        |  ELSE dec_raw END AS dec_val,
+        |  CASE WHEN pos % 3 = 0 AND pos % 5 = 3 THEN 1 ELSE 0 END AS n_events,
+        |  (pos % 3 = 0 AND pos % 5 = 3) AS stopped
         |FROM conv""".stripMargin),
 
     "q_unique_flag" -> (W +

@@ -167,12 +167,13 @@ object Pipeline {
     else df.withColumn(Events.col, Events.empty)
 
   def apply(df: DataFrame, transformations: Seq[Transformation]): DataFrame =
-    transformations.foldLeft(init(df))((d, t) => applyOne(d, t, lit(true)))
+    transformations.foldLeft(init(df))((d, t) => applyOne(d, t, lit(true), gated = false))
 
   private def fieldEvent(stop: Boolean, level: String, desc: String, value: Column): Column =
     Events.event(stop, level, lit(desc), value)
 
-  private def applyOne(df: DataFrame, t: Transformation, pred: Column): DataFrame = t match {
+  private def applyOne(df: DataFrame, t: Transformation, pred: Column,
+                       gated: Boolean): DataFrame = t match {
 
     case Required(fields, allowEmpty) =>
       fields.foldLeft(df) { (d, f) =>
@@ -225,22 +226,33 @@ object Pipeline {
         val converted = fn(col(f))
         val applied = g && col(f).isNotNull
         val failed = applied && converted.isNull
+        // Unconditional conversion → typed column: success overwrites,
+        // failure removes the field (null) matching Conversion.cs:84-88.
+        // GATED conversion (under Conditional) must NOT destroy rows the
+        // predicate skips — the reference leaves unconverted records
+        // untouched, but a static typed column cannot hold the frozen
+        // string. So a gated conversion keeps the column as STRING:
+        // converted values render canonically, skipped rows keep their
+        // original value, failures null + stop event.
+        val newVal =
+          if (gated)
+            when(col("__applied") && !col("__failed"), converted.cast(StringType))
+              .when(col("__failed"), lit(null).cast(StringType))
+              .otherwise(col(f).cast(StringType))
+          else
+            when(col("__applied") && !col("__failed"), converted)
+              .otherwise(lit(null).cast(dt))
         d.withColumn("__applied", applied).withColumn("__failed", failed)
           .withColumn(Events.col,
             Events.appendWhen(col(Events.col), col("__failed"),
               fieldEvent(stop = true, LogEvent.Error,
                 s"Unable to convert the data in field [$f]", col(f))))
-          // Success → typed overwrite; failure → field removed (null), matching
-          // Conversion.cs:84-88. Rows the op does not touch (stopped / null)
-          // surface null in the typed column; their pre-image lives in the
-          // stop event payload (typed columns cannot hold the frozen string).
-          .withColumn(f, when(col("__applied") && !col("__failed"), converted)
-            .otherwise(lit(null).cast(dt)))
+          .withColumn(f, newVal)
           .drop("__applied", "__failed")
       }
 
     case Conditional(p, inner) =>
-      inner.foldLeft(df)((d, t2) => applyOne(d, t2, pred && p))
+      inner.foldLeft(df)((d, t2) => applyOne(d, t2, pred && p, gated = true))
 
     case UniqueFlag(keys, posCol, caseSensitive) =>
       val g = pred && !Events.stoppedCol

@@ -57,6 +57,27 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "x", 2L -> "A", 3L -> "b"))
   }
 
+  test("conversion under conditional preserves non-matching rows (no data loss)") {
+    val df = Seq(
+      (1L, "user", "123.45"),   // matches → converted (canonical string)
+      (2L, "tool", "123.45"),   // predicate false → ORIGINAL value kept
+      (3L, "user", "garbage"),  // matches, fails → null + stop event
+      (4L, "tool", "garbage"),  // predicate false → original kept, no event
+      (5L, "user", null)        // matches, null input → stays null, no event
+    ).toDF("pos", "role", "f")
+    val out = Pipeline(df,
+      Seq(Conditional(col("role") === "user", Seq(Conversion(Seq("f"), "decimal")))))
+    val vals = out.select("pos", "f").as[(Long, Option[String])].collect().toMap
+    assert(vals(1L).contains("123.450000000000000000"))
+    assert(vals(2L).contains("123.45"), "non-matching row lost its value")
+    assert(vals(3L).isEmpty)
+    assert(vals(4L).contains("garbage"), "non-matching row lost its value")
+    assert(vals(5L).isEmpty)
+    val ev = events(out)
+    assert(ev(1L).isEmpty && ev(2L).isEmpty && ev(4L).isEmpty && ev(5L).isEmpty)
+    assert(ev(3L).size == 1 && ev(3L).head.getAs[Boolean]("stop"))
+  }
+
   test("truncate only when longer") {
     val df = mk(1L -> "abcdef", 2L -> "ab", 3L -> null)
     val got = Pipeline(df, Seq(Truncate(Map("f" -> 3))))
