@@ -41,11 +41,15 @@ object ReferenceOps {
         .when(col("pos") % 5 === 2, "1,234.56").when(col("pos") % 5 === 3, "abc")
         .otherwise(lit(null)))
     .withColumn("dt_raw",
-      when(col("pos") % 6 === 0, "2018-01-02 03:04:05")
-        .when(col("pos") % 6 === 1, "Jan  2, 2018 12:30 AM")
-        .when(col("pos") % 6 === 2, "2018-01-02T03:04:05.0000000")
-        .when(col("pos") % 6 === 3, "1/2/2018")
-        .when(col("pos") % 6 === 4, "not a date")
+      when(col("pos") % 10 === 0, "2018-01-02 03:04:05")
+        .when(col("pos") % 10 === 1, "Jan  2, 2018 12:30 AM")
+        .when(col("pos") % 10 === 2, "2018-01-02T03:04:05.0000000")
+        .when(col("pos") % 10 === 3, "1/2/2018")
+        .when(col("pos") % 10 === 4, "not a date")
+        .when(col("pos") % 10 === 5, "2 Jan 2018")
+        .when(col("pos") % 10 === 6, "January 2, 2018")
+        .when(col("pos") % 10 === 7, "2018/1/2")
+        .when(col("pos") % 10 === 8, "1/2/2018 3:04:05 PM")
         .otherwise(lit(null)))
     .withColumn("ssn_raw",
       when(col("pos") % 4 === 0, "123456789")
@@ -60,11 +64,15 @@ object ReferenceOps {
       |       WHEN pos % 7 = 4 THEN '1' WHEN pos % 7 = 5 THEN 'nope' END AS bool_raw,
       |  CASE WHEN pos % 5 = 0 THEN '123.45' WHEN pos % 5 = 1 THEN '-0.5'
       |       WHEN pos % 5 = 2 THEN '1,234.56' WHEN pos % 5 = 3 THEN 'abc' END AS dec_raw,
-      |  CASE WHEN pos % 6 = 0 THEN '2018-01-02 03:04:05'
-      |       WHEN pos % 6 = 1 THEN 'Jan  2, 2018 12:30 AM'
-      |       WHEN pos % 6 = 2 THEN '2018-01-02T03:04:05.0000000'
-      |       WHEN pos % 6 = 3 THEN '1/2/2018'
-      |       WHEN pos % 6 = 4 THEN 'not a date' END AS dt_raw,
+      |  CASE WHEN pos % 10 = 0 THEN '2018-01-02 03:04:05'
+      |       WHEN pos % 10 = 1 THEN 'Jan  2, 2018 12:30 AM'
+      |       WHEN pos % 10 = 2 THEN '2018-01-02T03:04:05.0000000'
+      |       WHEN pos % 10 = 3 THEN '1/2/2018'
+      |       WHEN pos % 10 = 4 THEN 'not a date'
+      |       WHEN pos % 10 = 5 THEN '2 Jan 2018'
+      |       WHEN pos % 10 = 6 THEN 'January 2, 2018'
+      |       WHEN pos % 10 = 7 THEN '2018/1/2'
+      |       WHEN pos % 10 = 8 THEN '1/2/2018 3:04:05 PM' END AS dt_raw,
       |  CASE WHEN pos % 4 = 0 THEN '123456789' WHEN pos % 4 = 1 THEN '123-45-6789'
       |       WHEN pos % 4 = 2 THEN '98-7654321' ELSE '12345678' END AS ssn_raw
       |FROM turns""".stripMargin
@@ -242,19 +250,23 @@ object ReferenceOps {
 
     "q_conv_datetime" -> (withConv +
       """SELECT pos,
-        |  CASE WHEN pos % 6 = 0 THEN TIMESTAMP '2018-01-02 03:04:05'
-        |       WHEN pos % 6 = 1 THEN TIMESTAMP '2018-01-02 00:30:00'
-        |       WHEN pos % 6 = 2 THEN TIMESTAMP '2018-01-02 03:04:05'
-        |       WHEN pos % 6 = 3 THEN TIMESTAMP '2018-01-02 00:00:00' END AS dt_val,
-        |  CASE WHEN pos % 6 = 4 THEN 1 ELSE 0 END AS n_events,
-        |  (pos % 6 = 4) AS stopped
+        |  CASE WHEN pos % 10 = 0 THEN TIMESTAMP '2018-01-02 03:04:05'
+        |       WHEN pos % 10 = 1 THEN TIMESTAMP '2018-01-02 00:30:00'
+        |       WHEN pos % 10 = 2 THEN TIMESTAMP '2018-01-02 03:04:05'
+        |       WHEN pos % 10 = 3 THEN TIMESTAMP '2018-01-02 00:00:00'
+        |       WHEN pos % 10 = 5 THEN TIMESTAMP '2018-01-02 00:00:00'
+        |       WHEN pos % 10 = 6 THEN TIMESTAMP '2018-01-02 00:00:00'
+        |       WHEN pos % 10 = 7 THEN TIMESTAMP '2018-01-02 00:00:00'
+        |       WHEN pos % 10 = 8 THEN TIMESTAMP '2018-01-02 15:04:05' END AS dt_val,
+        |  CASE WHEN pos % 10 = 4 THEN 1 ELSE 0 END AS n_events,
+        |  (pos % 10 = 4) AS stopped
         |FROM conv""".stripMargin),
 
     "q_conv_date" -> (withConv +
       """SELECT pos,
-        |  CASE WHEN pos % 6 IN (0, 1, 2, 3) THEN DATE '2018-01-02' END AS date_val,
-        |  CASE WHEN pos % 6 = 4 THEN 1 ELSE 0 END AS n_events,
-        |  (pos % 6 = 4) AS stopped
+        |  CASE WHEN pos % 10 IN (0, 1, 2, 3, 5, 6, 7, 8) THEN DATE '2018-01-02' END AS date_val,
+        |  CASE WHEN pos % 10 = 4 THEN 1 ELSE 0 END AS n_events,
+        |  (pos % 10 = 4) AS stopped
         |FROM conv""".stripMargin),
 
     "q_conv_ssn" -> (withConv +

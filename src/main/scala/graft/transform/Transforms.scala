@@ -47,18 +47,32 @@ object Converters {
   /** Conversion.ToDateTime (Conversion.cs:123-141): C# DateTime.TryParse is
     * lenient ("Jan  2, 2018 12:30 AM" parses — DateTimeTests.cs:57-60). We
     * normalize runs of spaces, then try ISO (Spark's default string→timestamp
-    * parse covers yyyy-MM-dd[ HH:mm:ss[.f…]] and the 'T'/round-trip forms)
-    * followed by a fixed lenient-format list.
+    * parse covers yyyy-MM-dd[ HH:mm:ss[.f…]], single-digit month/day and the
+    * 'T'/round-trip forms) followed by the lenient en-US format table below
+    * (month-name, slash, dash and day-first shapes TryParse accepts).
+    * Deliberate deviations from TryParse, documented:
+    *   - digit-only strings ("2018", "20180102") are REJECTED — Spark's
+    *     default parser would read "2018" as a year, TryParse fails both;
+    *   - time-only strings ("03:04:05") are rejected: TryParse fills in
+    *     "today", which is nondeterministic in a distributed engine.
     */
+  private val lenientDateTimeFormats: Seq[String] = Seq(
+    "MMM d, yyyy h:mm:ss a", "MMM d, yyyy h:mm a", "MMM d, yyyy",
+    "MMMM d, yyyy h:mm:ss a", "MMMM d, yyyy h:mm a", "MMMM d, yyyy",
+    "MMM d yyyy", "MMMM d yyyy",
+    "d MMM yyyy h:mm:ss a", "d MMM yyyy h:mm a", "d MMM yyyy", "d MMMM yyyy",
+    "M/d/yyyy h:mm:ss a", "M/d/yyyy h:mm a", "M/d/yyyy H:mm:ss", "M/d/yyyy",
+    "M-d-yyyy h:mm:ss a", "M-d-yyyy",
+    "yyyy/M/d H:mm:ss", "yyyy/M/d")
+
   val toDateTime: Column => Column = c => {
     val norm = regexp_replace(trim(c), " +", " ")
-    coalesce(
-      try_to_timestamp(norm),
-      try_to_timestamp(norm, lit("MMM d, yyyy h:mm a")),
-      try_to_timestamp(norm, lit("MMM d, yyyy")),
-      try_to_timestamp(norm, lit("M/d/yyyy h:mm a")),
-      try_to_timestamp(norm, lit("M/d/yyyy"))
-    )
+    val attempts = try_to_timestamp(norm) +:
+      lenientDateTimeFormats.map(f => try_to_timestamp(norm, lit(f)))
+    val digitOnly = norm.rlike("^[0-9]+$")
+    val timeOnly = norm.rlike("^[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?(\\.[0-9]+)?( ?[AaPp][Mm])?$")
+    when(digitOnly || timeOnly, lit(null).cast(TimestampType))
+      .otherwise(coalesce(attempts: _*))
   }
 
   /** Conversion.ToDate (Conversion.cs:146-153): ToDateTime then midnight

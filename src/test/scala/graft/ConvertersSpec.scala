@@ -36,23 +36,37 @@ class ConvertersSpec extends AnyFunSuite {
     assert(run(Converters.toBoolean, in).forall(_ == null))
   }
 
-  test("datetime: ISO, lenient month-name, round-trip, slash formats") {
-    val got = run(Converters.toDateTime, Seq(
-      "2018-01-02 03:04:05",
-      "Jan  2, 2018 12:30 AM",
-      "2018-01-02T03:04:05.0000000",
-      "1/2/2018"))
-    assert(got == Seq(
-      Timestamp.valueOf("2018-01-02 03:04:05"),
-      Timestamp.valueOf("2018-01-02 00:30:00"),
-      Timestamp.valueOf("2018-01-02 03:04:05"),
-      Timestamp.valueOf("2018-01-02 00:00:00")))
+  test("datetime: acceptance table (DateTimeTests.cs:48-62 + TryParse en-US breadth)") {
+    val cases: Seq[(String, String)] = Seq(
+      "2018-01-02 03:04:05"         -> "2018-01-02 03:04:05",
+      "Jan  2, 2018 12:30 AM"       -> "2018-01-02 00:30:00",
+      "2018-01-02T03:04:05.0000000" -> "2018-01-02 03:04:05",
+      "1/2/2018"                    -> "2018-01-02 00:00:00",
+      // TryParse lenient en-US shapes beyond the reference's fixture
+      "2 Jan 2018"                  -> "2018-01-02 00:00:00",
+      "2 January 2018"              -> "2018-01-02 00:00:00",
+      "January 2, 2018"             -> "2018-01-02 00:00:00",
+      "January 2, 2018 3:04 PM"     -> "2018-01-02 15:04:00",
+      "Jan 2 2018"                  -> "2018-01-02 00:00:00",
+      "2018/1/2"                    -> "2018-01-02 00:00:00",
+      "2018-1-2"                    -> "2018-01-02 00:00:00",
+      "1-2-2018"                    -> "2018-01-02 00:00:00",
+      "1/2/2018 3:04:05 PM"         -> "2018-01-02 15:04:05",
+      "1/2/2018 15:04:05"           -> "2018-01-02 15:04:05",
+      "2 Jan 2018 12:30 AM"         -> "2018-01-02 00:30:00")
+    val got = run(Converters.toDateTime, cases.map(_._1))
+    cases.zip(got).foreach { case ((in, want), actual) =>
+      assert(actual == Timestamp.valueOf(want), s"for input [$in]")
+    }
   }
 
-  test("datetime: inconvertible → null (long max/min, guid, whitespace)") {
-    val in = Seq(Long.MaxValue.toString + "9", "not a date",
-      "4c2b7e3a-1111-2222-3333-444455556666", "   ")
-    assert(run(Converters.toDateTime, in).forall(_ == null))
+  test("datetime: rejection table (long max/min, guid, whitespace, digit-only, time-only)") {
+    val in = Seq(Long.MaxValue.toString, Long.MinValue.toString, "not a date",
+      "4c2b7e3a-1111-2222-3333-444455556666", "   ", "",
+      "2018", "20180102", // digit-only: TryParse fails both
+      "03:04:05")         // time-only: deliberate deviation ("today" is nondeterministic)
+    val got = run(Converters.toDateTime, in)
+    in.zip(got).foreach { case (i, v) => assert(v == null, s"for input [$i]") }
   }
 
   test("date truncates to midnight") {
