@@ -67,8 +67,8 @@ object RelOps {
         fns.rolling_min_hash(col("text"), 8).as("rolling_min8"))
     }),
 
-    // Strict CSV source (no parquet oracle — exercised by CsvSourceSpec
-    // against the reference's golden fixtures).
+    // Strict CSV source — oracle-checked against DuckDB read_csv on the
+    // same golden fixture, plus CsvSourceSpec's contract fixtures.
     "q_csv_source" -> ((s, dir) => {
       val fixture = Seq(
         "src/test/resources/csv/ValidFile.csv",
@@ -109,6 +109,16 @@ object RelOps {
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Same trim/blank→null semantics; pos = raw line of the record (header
+    // on line 1, so data starts at 2 — the fixture has no multi-line
+    // records, making row_number()+1 the line number).
+    "q_csv_source" ->
+      """SELECT nullif(trim(A), '') AS A, nullif(trim(B), '') AS B,
+        |  nullif(trim(C), '') AS C,
+        |  row_number() OVER () + 1 AS pos
+        |FROM read_csv('/root/repo/src/test/resources/csv/ValidFile.csv',
+        |  header=true, all_varchar=true)""".stripMargin
   )
 }

@@ -62,4 +62,55 @@ class CsvSourceSpec extends AnyFunSuite {
     assert(r.df.count() == 0 && r.fatal)
     assert(r.events.head.description.contains("Could not find file"))
   }
+
+  test("MultiLine: RFC-4180 quoted field containing a newline parses as one record") {
+    val r = CsvStrictSource.read(spark, s"$dir/MultiLine.csv")
+    assert(r.events.isEmpty)
+    val rows = r.df.orderBy("pos").collect()
+    assert(rows.length == 2)
+    assert(rows(0).toSeq == Seq("x", "line1\nline2", "z", 2L)) // starts on line 2
+    assert(rows(1).toSeq == Seq("1", "2", "3", 4L))            // record AFTER it: line 4
+  }
+
+  test("DuplicateHeaderCase: Name/name is a fatal duplicate (case-insensitive comparer)") {
+    val r = CsvStrictSource.read(spark, s"$dir/DuplicateHeaderCase.csv")
+    assert(r.df.count() == 0)
+    assert(r.events.size == 1 && r.events.head.stop)
+    assert(r.events.head.description.startsWith("Duplicate header name"))
+  }
+
+  test("TrailingAfterQuote: characters after a closing quote are fatal bad data") {
+    val r = CsvStrictSource.read(spark, s"$dir/TrailingAfterQuote.csv")
+    assert(r.df.count() == 0)
+    assert(r.events.head.description.startsWith("Unescaped quote found"))
+  }
+
+  test("Semicolon delimiter honored") {
+    val r = CsvStrictSource.read(spark, s"$dir/Semicolon.csv", delimiter = ';')
+    assert(r.events.isEmpty)
+    assert(r.df.columns.toSeq == Seq("A", "B", "pos"))
+    assert(r.df.orderBy("pos").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("1", "2", 2L), Seq("3", "4", 3L)))
+  }
+
+  test("Comments: lines starting with the comment char are skipped when allowed") {
+    val r = CsvStrictSource.read(spark, s"$dir/Comments.csv", allowComments = true)
+    assert(r.events.isEmpty)
+    assert(r.df.orderBy("pos").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("1", "2", 3L), Seq("3", "4", 5L)))
+    // comments NOT allowed (the reference default): '#' is data → width error
+    val strict = CsvStrictSource.read(spark, s"$dir/Comments.csv")
+    assert(strict.df.count() == 0 && strict.fatal)
+  }
+
+  test("BlankLines: ignored by default; a width error when ignoreBlankLines=false") {
+    val r = CsvStrictSource.read(spark, s"$dir/BlankLines.csv")
+    assert(r.events.isEmpty)
+    assert(r.df.orderBy("pos").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("1", "2", 3L), Seq("3", "4", 5L)))
+    val strict = CsvStrictSource.read(spark, s"$dir/BlankLines.csv",
+      ignoreBlankLines = false)
+    assert(strict.df.count() == 0)
+    assert(strict.events.head.description.startsWith("An inconsistent number of columns"))
+  }
 }
