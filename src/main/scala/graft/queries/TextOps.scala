@@ -58,6 +58,26 @@ object TextOps {
   private val as: Seq[Long] = (1 to K).map(i => (1103515245L * i + 12345L) % M)
   private val bs: Seq[Long] = (1 to K).map(i => (987654321L * i + 7L) % M)
 
+  /** Document-frequency cap for exact-Jaccard shingles: a shingle present in
+    * more than this many documents is boilerplate (stop-phrase), carries no
+    * dedup signal, and — joined against itself — produces df² candidate rows
+    * (the classic hot-key quadratic). Dropping capped shingles keeps the
+    * self-join linear-ish; standard practice in production dedup pipelines.
+    */
+  private val ShingleDfCap = 256
+
+  /** Shingles with document frequency ≤ [[ShingleDfCap]]: anti-join against
+    * the (small, by definition) hot-shingle set — one extra groupBy, and the
+    * build side is bounded by the number of distinct hot shingles, so AQE
+    * broadcasts it.
+    */
+  private def cappedShingleHashes(docs: DataFrame): DataFrame = {
+    val sh = shingleHashes(docs)
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select("h")
+    sh.join(hot, Seq("h"), "left_anti")
+  }
+
   /** doc_id → distinct word-3-gram shingle hashes (mod M), both engines. */
   private def shingleHashes(docs: DataFrame): DataFrame =
     docs.withColumn("__w", split(trim(col("text")), "\\s+"))
@@ -216,8 +236,12 @@ object TextOps {
     "q_ngram_jaccard" -> ((s, dir) => {
       // Exact Jaccard over word-3-gram sets for LSH-candidate-free exact
       // verification: pairs sharing ≥1 shingle (equi-join on shingle hash),
-      // Jaccard = |∩|/|∪|, threshold 0.5.
-      val sh = shingleHashes(augDocs(s, dir)).cache()
+      // Jaccard = |∩|/|∪| over the DF-capped shingle sets, threshold 0.5.
+      // MEMORY_AND_DISK persist: sh is read 3× (sizes, both join sides);
+      // at scale it spills instead of OOMing, and can be swapped for a
+      // checkpoint when recompute is cheaper than storage.
+      val sh = cappedShingleHashes(augDocs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("x").join(sh.as("y"),
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -313,10 +337,14 @@ object TextOps {
 
     "q_ngram_jaccard" -> withAug(
       s""", $shingleHashesSql,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |shc AS (
+         |  SELECT * FROM sh WHERE h NOT IN (
+         |    SELECT h FROM sh GROUP BY h HAVING count(*) > $ShingleDfCap)
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
          |inter AS (
          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  FROM shc x JOIN shc y ON x.h = y.h AND x.doc_id < y.doc_id
          |  GROUP BY x.doc_id, y.doc_id
          |)
          |SELECT doc_a, doc_b,

@@ -22,12 +22,37 @@ import graft.media.Media
 object VectorOps {
 
   private val DIMS = 64
+
+  /** LSH hash width used by the oracle-checked fixture queries. At scale the
+    * width must grow with the corpus — see [[nbitsFor]]; a fixed width makes
+    * the bucketed self-join O(n²/2^nbits), quadratic again once n outgrows
+    * the bucket count.
+    */
   private val NBITS = 8
 
+  /** Corpus-size-driven LSH width: 2^nbits buckets sized so the EXPECTED
+    * bucket occupancy stays ≤ `targetPerBucket`, i.e. the per-bucket
+    * self-join cost is bounded as n grows (floor 8 = the fixture setting).
+    * At 10^12 vectors with the default target this is ~30 bits — still a
+    * single int bucket id.
+    */
+  def nbitsFor(corpusSize: Long, targetPerBucket: Long = 1024L): Int =
+    math.max(NBITS,
+      math.ceil(math.log(math.max(corpusSize, 1L).toDouble / targetPerBucket)
+        / math.log(2)).toInt)
+
+  /** IVF coarse-quantizer size and probe count: k is FIXED (independent of
+    * corpus size) so the broadcast side never grows with n; the deterministic
+    * md5-ranked sample stands in for k-means training, which this sandbox's
+    * oracle could not reproduce bit-for-bit.
+    */
+  private val IVF_K = 16
+  private val IVF_NPROBE = 2
+
   /** Deterministic ±1 hyperplanes: parity of the first md5 byte of "b:d". */
-  private[queries] val planes: Seq[Seq[Int]] = {
+  private[queries] def planes(nbits: Int): Seq[Seq[Int]] = {
     val md = MessageDigest.getInstance("MD5")
-    (0 until NBITS).map { b =>
+    (0 until nbits).map { b =>
       (0 until DIMS).map { d =>
         val h = md.digest(s"$b:$d".getBytes("UTF-8"))
         if ((h(0) & 1) == 1) 1 else -1
@@ -45,20 +70,20 @@ object VectorOps {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
-  private def planeCol(b: Int): Column =
-    typedLit(planes(b))
+  private def planeCol(nbits: Int, b: Int): Column =
+    typedLit(planes(nbits)(b))
 
-  /** Sign-LSH bucket id (NBITS bits) of an embedding column. */
-  private def bucket(emb: Column): Column =
-    (0 until NBITS).map { b =>
-      when(aggregate(zip_with(emb, planeCol(b), (x, w) => x.cast("double") * w),
+  /** Sign-LSH bucket id (`nbits` bits) of an embedding column. */
+  private[queries] def bucket(emb: Column, nbits: Int = NBITS): Column =
+    (0 until nbits).map { b =>
+      when(aggregate(zip_with(emb, planeCol(nbits, b), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x) > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
   // ---- matching DuckDB SQL fragments ----
 
   private def planeSqlLit(b: Int): String =
-    planes(b).mkString("[", ", ", "]")
+    planes(NBITS)(b).mkString("[", ", ", "]")
 
   private val dotSql =
     "list_sum(list_transform(list_zip(%s, %s), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
@@ -71,6 +96,15 @@ object VectorOps {
 
   private val normSql =
     "sqrt(list_sum(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** Fixed-k deterministic coarse quantizer: the k vectors ranked first by
+    * md5(vec_id) — a uniform pseudo-random sample both engines reproduce
+    * bit-for-bit. The output is ALWAYS k rows, whatever the corpus size:
+    * the broadcast side of the IVF assignment is bounded.
+    */
+  private[queries] def centroids(e: DataFrame, k: Int = IVF_K): DataFrame =
+    e.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
 
   // ---- augmented embeddings: exact copies for near-dup fixtures ----
 
@@ -142,16 +176,18 @@ object VectorOps {
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
-      // IVF: coarse centroids (every 100th vector = the "trained" coarse
-      // quantizer), every vector assigned to its nearest centroid by cosine
-      // (the inverted file), queries probe their 2 nearest cells and re-rank
-      // exactly within them. At scale the assignment is a broadcast of the
-      // centroid set (tiny) over the corpus — one map-side pass, no corpus
+      // IVF: a FIXED-k coarse quantizer (k = IVF_K, independent of corpus
+      // size — a corpus-proportional centroid set would grow the broadcast
+      // with n and eventually OOM the executors), every vector assigned to
+      // its nearest centroid by cosine (the inverted file), queries probe
+      // their IVF_NPROBE nearest cells and re-rank exactly within them.
+      // Centroids are a deterministic md5-ranked sample standing in for
+      // k-means training. At scale the assignment is a broadcast of the
+      // k-row centroid set over the corpus — one map-side pass, no corpus
       // shuffle; the probe search is an equi-join on cell id.
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      val c = broadcast(e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn")))
+      val c = broadcast(centroids(e))
       val scored = e.join(c)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
           (dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("csim"))
@@ -162,7 +198,7 @@ object VectorOps {
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
       val probes = scored.filter(col("vec_id") % 50 === 0)
         .withColumn("__rn", row_number().over(wAsg))
-        .filter(col("__rn") <= 2)
+        .filter(col("__rn") <= IVF_NPROBE)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("cid").as("pcid"))
       val pairs = asg.join(broadcast(probes),
@@ -238,7 +274,8 @@ object VectorOps {
       s"""WITH e AS (
          |  SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm FROM embeddings
          |), c AS (
-         |  SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id % 100 = 0
+         |  SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IVF_K
          |), scored AS (
          |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
          |    ${dotSql.format("e.embedding", "c.ce")} / (e.nrm * c.cn) AS csim
@@ -253,7 +290,7 @@ object VectorOps {
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY round(csim, 9) DESC, cid ASC) AS rn
          |    FROM scored WHERE vec_id % 50 = 0
-         |  ) WHERE rn <= 2
+         |  ) WHERE rn <= $IVF_NPROBE
          |), pairs AS (
          |  SELECT DISTINCT p.qid, a.vec_id AS nid,
          |    ${dotSql.format("a.embedding", "p.qe")} / (a.nrm * p.qn) AS cos
