@@ -22,7 +22,8 @@ case class Dataflow(
     sources: Seq[DataFrame] = Nil,
     defaults: Map[String, Any] = Map.empty,
     replacements: Map[String, Map[String, String]] = Map.empty,
-    transformations: Seq[Transformation] = Nil
+    transformations: Seq[Transformation] = Nil,
+    eventSinks: Seq[graft.sink.EventSink] = Nil
 ) {
   require(name.nonEmpty, "Dataflow requires a name")
 
@@ -33,6 +34,10 @@ case class Dataflow(
     copy(replacements = replacements + (field -> map))
   def transform(ts: Transformation*): Dataflow =
     copy(transformations = transformations ++ ts)
+  def sink(es: graft.sink.EventSink): Dataflow = copy(eventSinks = eventSinks :+ es)
+
+  private def notifyAll(level: String, msg: String): Unit =
+    eventSinks.foreach(_.notify(level, msg))
 
   /** Compile to a DataFrame. Sources are concatenated by name (the
     * reference's AggregateSource sequential read, AggregateSource.cs:50-56 —
@@ -43,12 +48,25 @@ case class Dataflow(
     */
   def run(): DataFrame = {
     require(sources.nonEmpty, s"Dataflow [$name] requires at least one source")
-    val input = sources.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    // Lifecycle notifications, the reference's IEventSinkHandler channel
+    // (ConsoleEventSink.cs:44-95): dataflow/source started & completed fire
+    // at plan composition (the "read" in a lazy engine); the per-RECORD
+    // volume stays data-parallel through ErrorSplit — driver-side per-record
+    // logging would serialize the cluster.
+    notifyAll("INFO", s"Executing dataflow: $name")
+    val input = sources.zipWithIndex.map { case (s, i) =>
+      notifyAll("INFO", s"Reading from data source [$name/source_$i] beginning")
+      val out = s
+      notifyAll("INFO", s"Reading from data source [$name/source_$i] has ended")
+      out
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     val prefix: Seq[Transformation] =
       (if (keys.nonEmpty) Seq(Required(keys)) else Nil) ++
         (if (defaults.nonEmpty) Seq(DefaultValue(defaults)) else Nil) ++
         replacements.toSeq.sortBy(_._1).map { case (f, m) => Replace(Seq(f), m) }
-    Pipeline(input, prefix ++ transformations)
+    val out = Pipeline(input, prefix ++ transformations)
+    notifyAll("INFO", s"Completed dataflow: $name")
+    out
   }
 }
 

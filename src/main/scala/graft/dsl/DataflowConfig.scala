@@ -54,4 +54,80 @@ object DataflowConfig {
 
   def build(layers: Map[String, ConfigLayer], leaf: String): Dataflow =
     toDataflow(leaf, resolve(layers, leaf))
+
+  // ---- layered YAML from disk (the reference's per-tenant configuration
+  //      tree, Actions/Internal/ActionSettingsFactory.cs:24-76) ----
+
+  /** Flatten a parsed YAML document to dotted string keys
+    * (`default: {tool: none}` → `default.tool = none`).
+    */
+  private def flatten(node: Any, prefix: String = ""): Map[String, String] = node match {
+    case m: java.util.Map[_, _] =>
+      import scala.jdk.CollectionConverters._
+      m.asScala.flatMap { case (k, v) =>
+        flatten(v, if (prefix.isEmpty) s"$k" else s"$prefix.$k")
+      }.toMap
+    case null => Map.empty
+    case v => Map(prefix -> String.valueOf(v))
+  }
+
+  private def loadYaml(path: java.nio.file.Path): Map[String, String] =
+    if (!java.nio.file.Files.exists(path)) Map.empty // optional files, like AddYamlFile(…, true)
+    else flatten(new org.yaml.snakeyaml.Yaml()
+      .load[Any](java.nio.file.Files.readString(path)))
+
+  /** Locate `<config>/<action>.yml` under `root` — the config folder may be
+    * nested in a subfolder (ActionSettingsFactory.cs:40-51); more than one
+    * match is a build-time error.
+    */
+  private def locate(root: java.nio.file.Path, config: String,
+                     action: String): java.nio.file.Path = {
+    import scala.jdk.CollectionConverters._
+    val matches = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) && p.getFileName.toString == config)
+      .map(_.resolve(s"$action.yml"))
+      .filter(java.nio.file.Files.exists(_))
+      .toVector
+    matches.size match {
+      case 0 => root.resolve(config).resolve(s"$action.yml")
+      case 1 => matches.head
+      case n => throw new IllegalStateException(
+        s"Found $n conflicting configuration files for $config/$action")
+    }
+  }
+
+  /** Resolve settings from the on-disk configuration tree, the reference's
+    * layering (least → most specific, later wins): action defaults
+    * `<root>/<action>.yml`, tenant defaults `<root>/<tenant>/_Default.yml`,
+    * then the parent chain of `<configuration or tenant>/<action>.yml`.
+    * Circular parent chains are a build-time error.
+    */
+  def resolveFiles(root: String, action: String, tenant: String,
+                   configuration: String = ""): Map[String, String] = {
+    val rootP = java.nio.file.Paths.get(root)
+    var config = if (configuration.trim.nonEmpty) configuration else tenant
+    var paths = Vector.empty[java.nio.file.Path]
+    while (config != null && config.trim.nonEmpty) {
+      val p = locate(rootP, config, action)
+      if (paths.contains(p))
+        throw new IllegalStateException(
+          "Circular parent hierarchy in action configuration")
+      paths :+= p
+      config = loadYaml(p).getOrElse("parent", null)
+    }
+    val layersLeastToMost =
+      Vector(rootP.resolve(s"$action.yml")) ++
+        (if (tenant.trim.nonEmpty)
+          Vector(rootP.resolve(tenant).resolve("_Default.yml")) else Vector.empty) ++
+        paths.reverse
+    layersLeastToMost.foldLeft(Map.empty[String, String])(_ ++ loadYaml(_)) - "parent"
+  }
+
+  /** Build a [[Dataflow]] straight from the configuration tree — the
+    * spark-submit path: `buildFromFiles(root, action, tenant)` then
+    * `.source(df).run()`.
+    */
+  def buildFromFiles(root: String, action: String, tenant: String,
+                     configuration: String = ""): Dataflow =
+    toDataflow(action, resolveFiles(root, action, tenant, configuration))
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.model.Events
-import graft.sink.{ErrorSplit, MergeSink, ProgressListener}
+import graft.sink.{ConsoleEventSink, ErrorSplit, EventSink, MergeSink, ProgressListener}
 import graft.stream.{OrderRepair, TurnPos}
 import graft.transform._
 
@@ -44,7 +44,8 @@ object TranscriptPipeline {
       watermark: String = "10 minutes",
       gapMs: Long = 600000L,
       strict: Boolean = false,
-      maxFilesPerTrigger: Int = 64)
+      maxFilesPerTrigger: Int = 64,
+      eventSink: EventSink = new ConsoleEventSink())
 
   /** Build and start the streaming query. Returns the query + sink (the
     * caller owns lifecycle — tests use processAllAvailable, production
@@ -82,11 +83,17 @@ object TranscriptPipeline {
         try {
           val (valid, errors) = ErrorSplit.split(cached, Seq("conv_id", "turn_idx", "pos"))
           errors.write.mode("append").parquet(cfg.errorsDir)
+          val nErrors = errors.count()
+          // per-batch lifecycle notification (the reference's per-record
+          // NotifyRecordCompleted, aggregated to stay driver-cheap)
+          cfg.eventSink.notify(if (nErrors > 0) "WARN" else "INFO",
+            s"batch $batchId: $nErrors error rows appended to ${cfg.errorsDir}")
           val repaired = OrderRepair.batch(
             valid.select("conv_id", "turn_idx", "role", "text", "tool", "ts", "pos")
               .as[TurnPos],
             strict = false)
           sink.merge(repaired.toDF(), batchId)
+          cfg.eventSink.notify("INFO", s"batch $batchId: merged into ${cfg.outputTable}")
         } finally cached.unpersist()
       }.start()
     (q, sink)

@@ -209,14 +209,23 @@ object Pipeline {
     case DefaultValue(defaults, onBlank) =>
       defaults.foldLeft(df) { case (d, (f, v)) =>
         val g = pred && !Events.stoppedCol
-        val blank =
-          if (onBlank) col(f).isNull || trim(col(f).cast(StringType)) === ""
-          else col(f).isNull
-        d.withColumn(f, when(g && blank, lit(v)).otherwise(col(f)))
+        if (!d.columns.contains(f))
+          // the reference's record dict CREATES a missing field on default
+          // (DefaultValue.cs:60-84 sets record[field]); stopped rows stay
+          // untouched → the field remains missing (null) for them
+          d.withColumn(f, when(g, lit(v)))
+        else {
+          val blank =
+            if (onBlank) col(f).isNull || trim(col(f).cast(StringType)) === ""
+            else col(f).isNull
+          d.withColumn(f, when(g && blank, lit(v)).otherwise(col(f)))
+        }
       }
 
     case Replace(fields, map) =>
-      fields.foldLeft(df) { (d, f) =>
+      // replacing a field the record does not carry is a no-op, like the
+      // reference's dict lookup (Replace.cs:69-99)
+      fields.filter(df.columns.contains).foldLeft(df) { (d, f) =>
         val g = pred && !Events.stoppedCol
         val s = col(f).cast(StringType)
         val replaced = map.foldLeft(lit(null).cast(StringType)) {

@@ -38,6 +38,39 @@ class DataflowConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](DataflowConfig.resolve(Map.empty, "missing"))
   }
 
+  private val cfgRoot = "src/test/resources/configurations"
+
+  test("YAML files: parent chain merges least-to-most specific, nested keys dotted") {
+    val s = DataflowConfig.resolveFiles(cfgRoot, "ImportFeed", "TestTenant")
+    assert(s("keys") == "conv_id,turn_idx")          // action defaults
+    assert(s("default.source") == "tenant-default")  // tenant _Default.yml
+    assert(s("default.extra") == "chained")          // ChainedParent survives
+    assert(s("default.tool") == "parent-tool")       // ParentTenant beats Chained+action
+    assert(s("replace.role.tool") == "tool_result")  // leaf most specific
+    assert(!s.contains("parent"))
+  }
+
+  test("YAML files: config folder found when nested in a group subfolder") {
+    val s = DataflowConfig.resolveFiles(cfgRoot, "ImportFeed", "TestTenantInGroup")
+    assert(s("default.tool") == "parent-tool") // chain walked from the nested folder
+  }
+
+  test("YAML files: circular parent hierarchy fails at build time") {
+    val e = intercept[IllegalStateException](
+      DataflowConfig.resolveFiles(cfgRoot, "Circular", "TestTenant"))
+    assert(e.getMessage.contains("Circular"))
+  }
+
+  test("buildFromFiles drives a runnable Dataflow from the config tree") {
+    val flow = DataflowConfig.buildFromFiles(cfgRoot, "ImportFeed", "TestTenant")
+    assert(flow.keys == Seq("conv_id", "turn_idx"))
+    val df = Seq(("c1", 0, "tool", null.asInstanceOf[String]))
+      .toDF("conv_id", "turn_idx", "role", "tool")
+    val row = flow.source(df).run().select("role", "tool").head
+    assert(row.getString(0) == "tool_result") // replace.role.tool from leaf
+    assert(row.getString(1) == "parent-tool") // default.tool from parent chain
+  }
+
   test("synthesized dataflow applies keys-Required, defaults, replacements in order") {
     val flow = DataflowConfig.build(layers, "tenantAction")
     assert(flow.keys == Seq("conv_id", "turn_idx"))

@@ -24,6 +24,41 @@ class EventSinkSpec extends AnyFunSuite {
     assert(errs == Set((2L, true, "ERROR"), (3L, true, "ERROR")))
   }
 
+  test("dataflow lifecycle notifications fire from a real run") {
+    val captured = new CollectingEventSink
+    val df = Seq((1L, "a"), (2L, "b")).toDF("pos", "f")
+    val flow = graft.dsl.Dataflow("lifecycle-test").sink(captured)
+      .source(df).source(df)
+      .transform(Required(Seq("f")))
+    flow.run().count()
+    val msgs = captured.captured.map(_._2)
+    assert(msgs.head == "Executing dataflow: lifecycle-test")
+    assert(msgs.count(_.contains("Reading from data source")) == 4) // 2 sources × begin/end
+    assert(msgs.last == "Completed dataflow: lifecycle-test")
+  }
+
+  test("transcript pipeline notifies per-batch error counts") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("evt_pipe").toString
+    val in = s"$base/in"
+    Seq(("c1", 0, "user", "hello", null.asInstanceOf[String],
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      ("c1", 1, "assistant", null.asInstanceOf[String], null.asInstanceOf[String],
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), 2L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "pos")
+      .write.parquet(in)
+    val captured = new CollectingEventSink
+    val (q, _) = graft.jobs.TranscriptPipeline.start(spark,
+      graft.jobs.TranscriptPipeline.Config(in, s"$base/out", s"$base/errs",
+        s"$base/ckpt", s"$base/progress", eventSink = captured))
+    q.processAllAvailable()
+    q.stop()
+    val msgs = captured.captured
+    assert(msgs.exists { case (lvl, m) =>
+      lvl == "WARN" && m.contains("1 error rows") }, s"got: $msgs")
+    assert(msgs.exists(_._2.contains("merged into")))
+  }
+
   test("aggregate sink fans out sequentially; level filter works") {
     val a = new CollectingEventSink
     val b = new CollectingEventSink
