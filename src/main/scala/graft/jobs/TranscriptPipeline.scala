@@ -118,13 +118,14 @@ object TranscriptPipeline {
         Truncate(Map("text" -> 4096))))
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "pos")
       .withWatermark("ts", cfg.watermark)
-    import org.apache.spark.sql.Encoders
-    implicit val enc = Encoders.product[TurnPos]
-    val repaired = OrderRepair.streaming(validated.as[TurnPos], cfg.strict, cfg.gapMs)
+    // packed hot path across the stateful boundary; unpack before the sink
+    // so the output table carries plain string/timestamp columns
+    val repaired = OrderRepair.streamingPacked(
+      OrderRepair.pack(validated), cfg.strict, cfg.gapMs)
     val q = repaired.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[TurnPos], id: Long) =>
-        sink.merge(b.toDF(), id)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.stream.TurnPacked], id: Long) =>
+        sink.merge(OrderRepair.unpack(b), id)
       }.start()
     (q, sink)
   }

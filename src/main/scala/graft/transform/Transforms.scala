@@ -99,6 +99,9 @@ object Converters {
     case "date"     => (toDate, DateType)
     case "ssn"      => (toSsn, StringType)
   }
+
+  val names: Seq[String] = Seq("upper", "boolean", "decimal", "datetime", "date", "ssn")
+  def known(name: String): Boolean = names.contains(name)
 }
 
 /** Declarative transformation ADT — the analog of the reference's
@@ -110,26 +113,43 @@ object Converters {
 sealed trait Transformation
 
 /** Required (Required.cs:53-80): missing/null or (unless allowEmpty)
-  * whitespace-only string → field nulled + stop event.
+  * whitespace-only string → field nulled + stop event. Build-time
+  * validation mirrors the reference's FluentValidation decorators
+  * (Required.cs:38-50): a bad plan fails before any job is submitted.
   */
-case class Required(fields: Seq[String], allowEmpty: Boolean = false) extends Transformation
+case class Required(fields: Seq[String], allowEmpty: Boolean = false) extends Transformation {
+  require(fields.nonEmpty && fields.forall(_.trim.nonEmpty),
+    "Required needs at least one non-blank field name")
+}
 
 /** DefaultValue (DefaultValue.cs:60-84): missing/null or (defaultOnBlank)
-  * whitespace-only → literal default.
+  * whitespace-only → literal default; a missing field is CREATED.
   */
-case class DefaultValue(defaults: Map[String, Any], defaultOnBlank: Boolean = true) extends Transformation
+case class DefaultValue(defaults: Map[String, Any], defaultOnBlank: Boolean = true) extends Transformation {
+  require(defaults.nonEmpty, "DefaultValue needs at least one field → default")
+}
 
 /** Replace (Replace.cs:69-99): exact case-sensitive match against the map. */
-case class Replace(fields: Seq[String], replacements: Map[String, String]) extends Transformation
+case class Replace(fields: Seq[String], replacements: Map[String, String]) extends Transformation {
+  require(fields.nonEmpty, "Replace needs at least one field")
+  require(replacements.nonEmpty, "Replace needs at least one incoming → outgoing pair")
+}
 
 /** Truncate (Truncate.cs:52-73): strings longer than len → prefix. */
-case class Truncate(lengths: Map[String, Int]) extends Transformation
+case class Truncate(lengths: Map[String, Int]) extends Transformation {
+  require(lengths.nonEmpty && lengths.values.forall(_ > 0),
+    "Truncate needs positive lengths")
+}
 
 /** Conversion (Conversion.cs:62-94): converter by name from [[Converters]];
   * failure nulls the field and appends the stop event carrying the offending
   * value (remove-on-fail, Conversion.cs:84-88).
   */
-case class Conversion(fields: Seq[String], converter: String) extends Transformation
+case class Conversion(fields: Seq[String], converter: String) extends Transformation {
+  require(fields.nonEmpty, "Conversion needs at least one field")
+  require(Converters.known(converter),
+    s"Unknown converter [$converter]; expected one of ${Converters.names.mkString(", ")}")
+}
 
 /** Conditional (Conditional.cs:48-95): per-row predicate gating inner
   * transformations. Compiled by pushing the predicate into every inner
@@ -143,16 +163,23 @@ case class Conditional(pred: Column, inner: Seq[Transformation]) extends Transfo
   * order deterministically via min-position, independent of partitioning.
   */
 case class UniqueFlag(keys: Seq[String], posCol: String = "pos",
-                      caseSensitive: Boolean = false) extends Transformation
+                      caseSensitive: Boolean = false) extends Transformation {
+  require(keys.nonEmpty, "UniqueFlag needs at least one key field")
+}
 
 /** DbLookup (DbLookup.cs:181-223) re-expressed as a broadcast left join with
   * an exactly-one-match guard: 1 match → outputs copied; 0 or ≥2 → stop event
   * carrying the match count. The reference's per-key result cache
   * (DbLookup.cs:159-176) is subsumed by join execution — the build side is
-  * read once.
+  * read once. `parameters` are the reference's STATIC query parameters
+  * (DbLookup.cs:196 merges `Parameters` into every lookup's input): constant
+  * equality criteria applied to the lookup side before the join.
   */
 case class Lookup(lookupDf: DataFrame, joinKeys: Seq[String],
-                  outputs: Seq[String], broadcastHint: Boolean = true) extends Transformation
+                  outputs: Seq[String], broadcastHint: Boolean = true,
+                  parameters: Map[String, Any] = Map.empty) extends Transformation {
+  require(joinKeys.nonEmpty, "Lookup needs at least one join key")
+}
 
 /** Code (Code.cs:12-62): the escape-hatch UDF — arbitrary DataFrame step.
   * Not gateable by Conditional (use column functions for that).
@@ -302,12 +329,18 @@ object Pipeline {
               concat(lit("first occurrence at position "), col("__first_pos")))))
         .drop("__first_pos")
 
-    case Lookup(lookupDf, joinKeys, outputs, hint) =>
+    case Lookup(lookupDf, joinKeys, outputs, hint, parameters) =>
       val g = pred && !Events.stoppedCol
+      // Static parameters: constant equality criteria on the lookup side,
+      // applied BEFORE the aggregation so they participate in the
+      // exactly-one count like the reference's merged query input.
+      val withParams = parameters.foldLeft(lookupDf) {
+        case (d, (k, v)) => d.filter(col(k) === lit(v))
+      }
       // Pre-aggregate the build side: exactly-one semantics become a count
       // check after a single left join (one shuffle-free broadcast at small
       // dim sizes; falls back to shuffle join for large lookups).
-      val aggd = lookupDf
+      val aggd = withParams
         .groupBy(joinKeys.map(col): _*)
         .agg(count(lit(1)).as("__match_count"),
           outputs.map(o => first(col(o)).as(o)): _*)

@@ -83,6 +83,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(!batched.contains(("c", 1)))
   }
 
+  test("order repair: PACKED hot path is row-identical to the TurnPos flavor") {
+    import spark.implicits._
+    val all = Seq(
+      turn("a", 0, 1, text = "héllo wörld"), // multi-byte UTF-8 survives packing
+      turn("a", 2, 3), turn("a", 1, 2),
+      turn("a", 2, 3, pos = 999),            // dup: min-pos winner must match
+      turn("b", 1, 5), turn("b", 0, 6),
+      turn("c", 1, 7))
+    for (strict <- Seq(true, false)) {
+      val viaPos = OrderRepair.batch(all.toDS(), strict).toDF()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "pos")
+        .collect().map(_.toSeq).toSet
+      val viaPacked = OrderRepair.unpack(
+        OrderRepair.batchPacked(OrderRepair.pack(all.toDF()), strict))
+        .collect().map(_.toSeq).toSet
+      assert(viaPacked == viaPos, s"strict=$strict")
+    }
+  }
+
+  test("order repair (streaming, packed): watermark timeout + flush match TurnPos path") {
+    implicit val enc = Encoders.product[TurnPos]
+    val batches = Seq(
+      Seq(turn("a", 0, 1), turn("a", 3, 3), turn("a", 2, 2)),
+      Seq(turn("z", 0, 200)),
+      Seq(turn("z", 1, 201)))
+    val ms = MemoryStream[TurnPos](enc, spark)
+    val repaired = OrderRepair.streamingPacked(
+      OrderRepair.pack(ms.toDS().withWatermark("ts", "10 seconds").toDF()),
+      strict = false, gapMs = 30000L)
+    val name = s"repair_packed_${System.nanoTime()}"
+    val q = repaired.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))).toSeq.sorted
+    assert(got == Seq(("a", 0), ("a", 2), ("a", 3), ("z", 0), ("z", 1)))
+  }
+
   test("dedup within watermark drops later duplicates across micro-batches") {
     implicit val enc = Encoders.product[TurnPos]
     val ms = MemoryStream[TurnPos](enc, spark)

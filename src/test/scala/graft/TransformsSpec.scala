@@ -57,6 +57,35 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "x", 2L -> "A", 3L -> "b"))
   }
 
+  test("build-time validation: bad plans fail before any job is submitted") {
+    intercept[IllegalArgumentException](Required(Nil))
+    intercept[IllegalArgumentException](Required(Seq("  ")))
+    intercept[IllegalArgumentException](DefaultValue(Map.empty))
+    intercept[IllegalArgumentException](Replace(Nil, Map("a" -> "b")))
+    intercept[IllegalArgumentException](Replace(Seq("f"), Map.empty))
+    intercept[IllegalArgumentException](Truncate(Map("f" -> 0)))
+    intercept[IllegalArgumentException](Conversion(Seq("f"), "no-such-converter"))
+    intercept[IllegalArgumentException](UniqueFlag(Nil))
+    intercept[IllegalArgumentException](
+      Lookup(spark.range(1).toDF(), Nil, Seq("out")))
+  }
+
+  test("lookup static parameters restrict the build side before the exactly-one check") {
+    val records = Seq((1L, "k1"), (2L, "k2")).toDF("pos", "key")
+    // k1 matches one ACTIVE row (the inactive one is filtered by the static
+    // parameter); k2's only row is inactive → 0 matches → stop event
+    val lookup = Seq(
+      ("k1", "active", "v1"), ("k1", "inactive", "v1-old"),
+      ("k2", "inactive", "v2")).toDF("key", "status", "value")
+    val out = Pipeline(records, Seq(
+      Lookup(lookup, Seq("key"), Seq("value"), parameters = Map("status" -> "active"))))
+    val vals = out.select("pos", "value").as[(Long, Option[String])].collect().toMap
+    assert(vals(1L).contains("v1"))
+    assert(vals(2L).isEmpty)
+    val ev = events(out)
+    assert(ev(1L).isEmpty && ev(2L).size == 1)
+  }
+
   test("conversion under conditional preserves non-matching rows (no data loss)") {
     val df = Seq(
       (1L, "user", "123.45"),   // matches → converted (canonical string)
