@@ -236,7 +236,7 @@ object Bench {
         f""""wall_sec_2":${sec2}%.2f,"wall_sec_8":${sec8}%.2f,"wall_sec_32":${sec32}%.2f,""" +
         f""""scaling_efficiency_2_to_8":${eff2to8}%.3f,"scaling_efficiency_8_to_32":${eff8to32}%.3f,""" +
         f""""scaling_efficiency":${eff2to8}%.3f,""" +
-        """"note":"N-to-4N pairs; each level = best of 2 taskset-pinned JVMs x 2 rounds, JVMs interleaved across levels to decorrelate shared-VM noise; 8-to-32 saturates the single box's shared memory bandwidth, which separate executor machines would not"}"""
+        """"note":"N-to-4N pairs; each level = best over taskset-pinned JVMs x 2 rounds (3 JVM windows for the 2/8 pair, 2 for 32), JVMs interleaved across levels to decorrelate shared-VM noise; 8-to-32 saturates the single box's shared memory bandwidth, which separate executor machines would not"}"""
     println(s"""{"metric":"streaming turns/sec @ 32 cores","value":${f"$thr32%.1f"},"unit":"turns/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"streaming":$streaming,"sf":"$sfDir"}""")
   }
 }

@@ -88,6 +88,23 @@ class ConvertersSpec extends AnyFunSuite {
       "0.500000000000000000", null, null))
   }
 
+  test("decimal: reference parsing table (DecimalTests.cs:60-65) + rejection cases") {
+    val cases = Seq(
+      "123456789"    -> "123456789",
+      "987,654,321"  -> "987654321",
+      "1,234,567.89" -> "1234567.89",
+      "98,765.4321"  -> "98765.4321")
+    val got = run(Converters.toDecimal, cases.map(_._1))
+    cases.zip(got).foreach { case ((in, want), v) =>
+      assert(v != null && BigDecimal(v.toString) == BigDecimal(want), s"for input [$in]")
+    }
+    // inconvertible: guid, whitespace, double overflow text (>38 digits)
+    val bad = run(Converters.toDecimal, Seq(
+      "4c2b7e3a-1111-2222-3333-444455556666", "   ", "",
+      "1" + "0" * 40))
+    bad.foreach(v => assert(v == null))
+  }
+
   test("upper") {
     assert(run(Converters.toUpperCase, Seq("abc", "aBc")) == Seq("ABC", "ABC"))
   }
