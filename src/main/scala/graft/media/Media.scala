@@ -38,6 +38,37 @@ object UnimplementedDecoder extends MediaDecoder {
     ??? // requires image/audio codecs not present in this sandbox
 }
 
+/** One sampled frame of a (fake-)video payload: provenance offsets so a
+  * downstream stage can seek into the original blob.
+  */
+case class FrameMeta(doc_id: Long, frame_idx: Long, frame_off: Long, frame_len: Int)
+
+/** Frame decoder contract: a real implementation demuxes the container and
+  * yields every `everyN`-th frame; the deterministic fake treats the payload
+  * as fixed-size frames so the row-explosion plumbing is oracle-checkable.
+  */
+trait FrameDecoder extends Serializable {
+  def frames(id: Long, bytes: Array[Byte], frameBytes: Int,
+             everyN: Int): Iterator[FrameMeta]
+}
+
+object FakeFrameDecoder extends FrameDecoder {
+  def frames(id: Long, bytes: Array[Byte], frameBytes: Int,
+             everyN: Int): Iterator[FrameMeta] = {
+    val n = bytes.length
+    val total = (n + frameBytes - 1) / frameBytes
+    Iterator.range(0, total, everyN).map(i =>
+      FrameMeta(id, i.toLong, i.toLong * frameBytes,
+        math.min(frameBytes, n - i * frameBytes)))
+  }
+}
+
+/** Resize planning metadata: source dims (from the decoder) and the
+  * fit-within-box target dims, aspect preserved, integer math only (so both
+  * engines agree bit-for-bit — no float scale factors).
+  */
+case class ResizeMeta(doc_id: Long, src_w: Long, src_h: Long, dst_w: Long, dst_h: Long)
+
 object Media {
 
   /** Attach a binary payload column and run the decoder partition-wise.
@@ -51,5 +82,51 @@ object Media {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it => it.map { case (id, bytes) => decoder.decode(id, bytes) } }
+  }
+
+  /** Frame sampling: one input row fans out to one row per sampled frame
+    * (flatMap inside mapPartitions — the decoder is amortized per
+    * partition, and a giant payload never materializes all its frames at
+    * once because the iterator is lazy). Empty payloads yield no frames.
+    */
+  def frameSample(df: DataFrame, idCol: String, binCol: String,
+                  frameBytes: Int = 64, everyN: Int = 2,
+                  decoder: FrameDecoder = FakeFrameDecoder): Dataset[FrameMeta] = {
+    require(frameBytes > 0 && everyN > 0, "frameBytes and everyN must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) => decoder.frames(id, bytes, frameBytes, everyN) }
+      }
+  }
+
+  /** Fit-within-box resize planning over decoded dimensions. Integer-only
+    * arithmetic (floor division, floor at 1px) keeps the fake-decode path
+    * byte-identical across engines; a real implementation hands `dst_w/h`
+    * to the codec's scaler.
+    */
+  def resizeMeta(df: DataFrame, idCol: String, binCol: String,
+                 maxW: Long = 160L, maxH: Long = 120L): Dataset[ResizeMeta] = {
+    require(maxW > 0 && maxH > 0, "target box must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length.toLong
+          val w0 = n % 640 + 1 // fake decode dims (nonzero by construction)
+          val h0 = (n * 7) % 480 + 1
+          val (dw, dh) =
+            if (w0 <= maxW && h0 <= maxH) (w0, h0) // never upscale
+            else if (w0 * maxH >= h0 * maxW)
+              (maxW, math.max(1L, h0 * maxW / w0)) // width-bound
+            else
+              (math.max(1L, w0 * maxH / h0), maxH) // height-bound
+          ResizeMeta(id, w0, h0, dw, dh)
+        }
+      }
   }
 }

@@ -218,6 +218,21 @@ object VectorOps {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       Media.extractMeta(docs, "doc_id", "payload").toDF()
+    }),
+
+    "q_media_frames" -> ((s, dir) => {
+      // Frame sampling: payload → one row per sampled 64-byte frame (every
+      // 2nd), lazy per-partition fan-out; offsets carry provenance.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Media.frameSample(docs, "doc_id", "payload").toDF()
+    }),
+
+    "q_media_resize" -> ((s, dir) => {
+      // Resize planning: fit-within-160×120, aspect preserved, integer math.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Media.resizeMeta(docs, "doc_id", "payload").toDF()
     })
   )
 
@@ -306,6 +321,33 @@ object VectorOps {
         |  octet_length(CAST(text AS BLOB)) % 640 AS width,
         |  (octet_length(CAST(text AS BLOB)) * 7) % 480 AS height,
         |  CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS first_byte
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_media_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents
+        |), f AS (
+        |  SELECT doc_id, n, unnest(range(0, CAST((n + 63) // 64 AS BIGINT), 2)) AS i
+        |  FROM d WHERE n > 0
+        |)
+        |SELECT doc_id, i AS frame_idx, i * 64 AS frame_off,
+        |  CAST(least(64, n - i * 64) AS INT) AS frame_len
+        |FROM f""".stripMargin,
+
+    "q_media_resize" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    octet_length(CAST(text AS BLOB)) % 640 + 1 AS w0,
+        |    (octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS h0
+        |  FROM documents
+        |)
+        |SELECT doc_id, w0 AS src_w, h0 AS src_h,
+        |  CASE WHEN w0 <= 160 AND h0 <= 120 THEN w0
+        |       WHEN w0 * 120 >= h0 * 160 THEN 160
+        |       ELSE greatest(1, (w0 * 120) // h0) END AS dst_w,
+        |  CASE WHEN w0 <= 160 AND h0 <= 120 THEN h0
+        |       WHEN w0 * 120 >= h0 * 160 THEN greatest(1, (h0 * 160) // w0)
+        |       ELSE 120 END AS dst_h
+        |FROM s""".stripMargin
   )
 }
