@@ -40,7 +40,11 @@ object Bench {
     // tmpfs for shuffle + state checkpoints: single local disk fsyncs are
     // not the object under test (a cluster has HDFS/S3 + per-node disks)
     "spark.local.dir" -> "/dev/shm/spark-local",
-    "spark.ui.enabled" -> "false")
+    "spark.ui.enabled" -> "false") ++
+    // off-heap state store (RocksDB) — opt-in experiment knob: moves the
+    // per-conversation repair state out of the GC'd heap
+    sys.env.get("SPARK_GRAFT_STATESTORE").map(p =>
+      "spark.sql.streaming.stateStore.providerClass" -> p).toSeq
 
   private def newSession(cores: Int): SparkSession = {
     val b = SparkSession.builder()

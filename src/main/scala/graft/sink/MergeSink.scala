@@ -77,14 +77,26 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
 
   /** Idempotent keyed merge of one micro-batch. Safe to call from
     * `foreachBatch`; re-delivery of an applied batchId is a no-op.
+    *
+    * `deleteCol`: optional boolean column marking TOMBSTONES — the MERGE's
+    * `WHEN MATCHED AND <del> THEN DELETE` arm (the reference DbCommand's
+    * arbitrary-SQL surface includes deletes). A tombstone removes its key
+    * from the table; within a batch the newest row per key (by
+    * `versionCol`) decides whether the key survives. Replays converge:
+    * deleting an absent key is a no-op.
     */
-  def merge(batch: DataFrame, batchId: Long): Unit = synchronized {
+  def merge(batch: DataFrame, batchId: Long,
+            deleteCol: Option[String] = None): Unit = synchronized {
     if (committedBatches.contains(batchId)) return
     val spark = batch.sparkSession
     val v = currentVersion
     val manifest = readManifest(v)
 
     val keyed = batch
+      .withColumn("__del",
+        deleteCol.map(c => coalesce(col(c).cast("boolean"), lit(false)))
+          .getOrElse(lit(false)))
+      .drop(deleteCol.toSeq: _*)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)))
       .filter(col("__rn") === 1).drop("__rn")
@@ -97,21 +109,26 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
     // current rows of ONLY the touched buckets (partition-scoped read)
     val touchedDirs = manifest.filter { case (b, _) => touched.contains(b) }
       .values.toSeq.distinct.map(d => root.resolve(d).toString)
-    val merged =
-      if (touchedDirs.isEmpty) keyed
-      else {
-        // manifest entries point INSIDE __bucket=b partition dirs, so the
-        // read is already bucket-scoped; the partition column is not in the
-        // files — recompute it for the union/write
-        val cur = spark.read.parquet(touchedDirs: _*)
-          .withColumn("__bucket", bucketCol)
-          .withColumn("__gen", lit(0))
-        cur.unionByName(keyed.withColumn("__gen", lit(1)))
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(keyCols.map(col): _*)
-              .orderBy(col("__gen").desc))) // batch row beats current row
-          .filter(col("__rn") === 1).drop("__rn", "__gen")
-      }
+    val merged = {
+      val withCur =
+        if (touchedDirs.isEmpty) keyed
+        else {
+          // manifest entries point INSIDE __bucket=b partition dirs, so the
+          // read is already bucket-scoped; the partition column is not in
+          // the files — recompute it for the union/write
+          val cur = spark.read.parquet(touchedDirs: _*)
+            .withColumn("__bucket", bucketCol)
+            .withColumn("__del", lit(false))
+            .withColumn("__gen", lit(0))
+          cur.unionByName(keyed.withColumn("__gen", lit(1)))
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(keyCols.map(col): _*)
+                .orderBy(col("__gen").desc))) // batch row beats current row
+            .filter(col("__rn") === 1).drop("__rn", "__gen")
+        }
+      // tombstone winners delete their key (WHEN MATCHED AND del THEN DELETE)
+      withCur.filter(!col("__del")).drop("__del")
+    }
 
     val next = v + 1
     val dataDir = s"data_v$next"
@@ -120,8 +137,15 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(root.resolve(dataDir).toString)
 
+    // a tombstone batch can empty a touched bucket entirely — only buckets
+    // that actually wrote rows enter the manifest; emptied ones drop out
+    val written = Option(root.resolve(dataDir).toFile.listFiles())
+      .getOrElse(Array.empty)
+      .collect { case f if f.getName.startsWith("__bucket=") =>
+        f.getName.stripPrefix("__bucket=").toInt }
+      .toSet
     val newManifest = manifest.filterNot { case (b, _) => touched.contains(b) } ++
-      touched.map(b => b -> s"$dataDir/__bucket=$b")
+      (touched & written).map(b => b -> s"$dataDir/__bucket=$b")
     journal(next, newManifest, batchId)
     gc(newManifest)
   }

@@ -26,6 +26,39 @@ class MergeSinkSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"), r.getAs[String]("text")))
       .toSet
 
+  test("merge: tombstones delete keys exactly-once; replays converge") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("merge_del").toString
+    val sink = new MergeSink(dir, Seq("conv_id", "turn_idx"), "pos")
+
+    sink.merge(Seq(turn("a", 0, "v1", 1), turn("a", 1, "v1", 2),
+      turn("b", 0, "v1", 3)).toDF(), 0L)
+
+    // batch 1: update a/0, TOMBSTONE a/1, tombstone an absent key (no-op),
+    // and a key where a later version resurrects over an earlier tombstone
+    val b1 = Seq(
+      (turn("a", 0, "v2", 10), false),
+      (turn("a", 1, "ignored", 11), true),  // delete a/1
+      (turn("z", 9, "ignored", 12), true),  // delete absent key → no-op
+      (turn("b", 0, "ignored", 13), true),  // tombstone...
+      (turn("b", 0, "kept", 14), false))    // ...beaten by newer upsert
+      .map { case (t, d) => (t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts, t.pos, d) }
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "pos", "del")
+    sink.merge(b1, 1L, deleteCol = Some("del"))
+    assert(tableOf(sink) == Set(("a", 0, "v2"), ("b", 0, "kept")))
+
+    // replay of batch 1 is a no-op (journaled)
+    sink.merge(b1, 1L, deleteCol = Some("del"))
+    assert(tableOf(sink) == Set(("a", 0, "v2"), ("b", 0, "kept")))
+
+    // a non-delete batch over a table that has seen deletes still works
+    sink.merge(Seq(turn("a", 1, "back", 20)).toDF()
+      .withColumn("ignored", lit(1)).drop("ignored")
+      .select(col("*")), 2L)
+    assert(tableOf(sink) == Set(("a", 0, "v2"), ("a", 1, "back"), ("b", 0, "kept")))
+  }
+
   test("merge: upsert semantics, newest wins, idempotent re-delivery") {
     import spark.implicits._
     val dir = Files.createTempDirectory("merge").toString

@@ -55,6 +55,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q_order_repair: packed boundary adds no extra exchange (one conv_id shuffle)") {
+    val p = plan("q_order_repair")
+    // pack → repair → unpack must cost exactly ONE grouping shuffle (on the
+    // conversation key); extra exchanges from the pack/unpack projections
+    // would double the shuffle bytes at 100 TB. (The dirty-fixture union
+    // also carries two transcript-window exchanges, collapsed to one
+    // ReusedExchange at runtime — not the operator under test.)
+    assert("Exchange hashpartitioning\\(value".r.findAllIn(p).size == 1,
+      s"grouping shuffle count wrong in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"unexpected extra exchange in:\n$p")
+  }
+
   test("q_skew_salted_agg: two aggregation stages (salted partial, final)") {
     val p = plan("q_skew_salted_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 4) // 2 logical aggs × partial/final
