@@ -23,7 +23,8 @@ case class Dataflow(
     defaults: Map[String, Any] = Map.empty,
     replacements: Map[String, Map[String, String]] = Map.empty,
     transformations: Seq[Transformation] = Nil,
-    eventSinks: Seq[graft.sink.EventSink] = Nil
+    eventSinks: Seq[graft.sink.EventSink] = Nil,
+    sourceEvents: Seq[(String, String)] = Nil
 ) {
   require(name.nonEmpty, "Dataflow requires a name")
 
@@ -35,6 +36,28 @@ case class Dataflow(
   def transform(ts: Transformation*): Dataflow =
     copy(transformations = transformations ++ ts)
   def sink(es: graft.sink.EventSink): Dataflow = copy(eventSinks = eventSinks :+ es)
+
+  /** CSV source with the reference's source-event wiring
+    * (ConsoleEventSink.cs:79-95 NotifySourceCompleted): a fatal read
+    * notifies every event sink with the critical event and contributes
+    * ZERO records (all-or-nothing), instead of failing the build — the
+    * dataflow's other sources still run, exactly like the reference's
+    * per-source event accumulation.
+    */
+  def sourceCsv(spark: SparkSession, path: String, header: Boolean = true,
+                skip: Int = 0, delimiter: Char = ',',
+                allowComments: Boolean = false, comment: Char = '#',
+                ignoreBlankLines: Boolean = true): Dataflow = {
+    val r = graft.source.CsvStrictSource.read(spark, path, header, skip,
+      delimiter, allowComments, comment, ignoreBlankLines)
+    // deferred to run(): sinks may be attached after this builder call
+    val evts = r.events.map(e => e.level ->
+      (s"Source: [$path] Message: [${e.description}] StopProcessing: [${e.stop}] " +
+        s"Values: [${e.value}]"))
+    // on fatal, r.df is the all-or-nothing EMPTY frame: the source still
+    // participates (zero records), the dataflow itself does not fail
+    copy(sourceEvents = sourceEvents ++ evts).source(r.df)
+  }
 
   private def notifyAll(level: String, msg: String): Unit =
     eventSinks.foreach(_.notify(level, msg))
@@ -54,6 +77,7 @@ case class Dataflow(
     // volume stays data-parallel through ErrorSplit — driver-side per-record
     // logging would serialize the cluster.
     notifyAll("INFO", s"Executing dataflow: $name")
+    sourceEvents.foreach { case (level, msg) => notifyAll(level, msg) }
     val input = sources.zipWithIndex.map { case (s, i) =>
       notifyAll("INFO", s"Reading from data source [$name/source_$i] beginning")
       val out = s

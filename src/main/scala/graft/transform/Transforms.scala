@@ -217,7 +217,12 @@ object Pipeline {
                        gated: Boolean): DataFrame = t match {
 
     case Required(fields, allowEmpty) =>
-      fields.foldLeft(df) { (d, f) =>
+      fields.foldLeft(df) { (d0, f) =>
+        // a MISSING field is a Required failure in the reference's record
+        // dict (Required.cs:68-69) — materialize it as null so the event
+        // fires instead of the plan failing analysis
+        val d = if (d0.columns.contains(f)) d0
+                else d0.withColumn(f, lit(null).cast(StringType))
         val g = pred && !Events.stoppedCol
         val blank = if (allowEmpty) lit(false) else trim(col(f).cast(StringType)) === ""
         val bad = g && (col(f).isNull || blank)
@@ -263,7 +268,8 @@ object Pipeline {
       }
 
     case Truncate(lengths) =>
-      lengths.foldLeft(df) { case (d, (f, n)) =>
+      // missing field → no-op (dict TryGetValue semantics)
+      lengths.filter { case (f, _) => df.columns.contains(f) }.foldLeft(df) { case (d, (f, n)) =>
         val g = pred && !Events.stoppedCol
         d.withColumn(f,
           when(g && length(col(f)) > n, substring(col(f), 1, n)).otherwise(col(f)))
@@ -271,7 +277,9 @@ object Pipeline {
 
     case Conversion(fields, convName) =>
       val (fn, dt) = Converters.byName(convName)
-      fields.foldLeft(df) { (d, f) =>
+      // missing field → no-op ("for each configured field with a non-null
+      // value", Conversion.cs:70-74)
+      fields.filter(df.columns.contains).foldLeft(df) { (d, f) =>
         val g = pred && !Events.stoppedCol
         val converted = fn(col(f))
         val applied = g && col(f).isNotNull

@@ -59,6 +59,27 @@ class EventSinkSpec extends AnyFunSuite {
     assert(msgs.exists(_._2.contains("merged into")))
   }
 
+  test("sourceCsv: fatal read notifies sinks and contributes zero records") {
+    val captured = new CollectingEventSink
+    val out = graft.dsl.Dataflow("csv-flow")
+      .sourceCsv(spark, "src/test/resources/csv/DuplicateHeader.csv")
+      .sink(captured) // attached AFTER sourceCsv — events must still arrive
+      .run()
+    assert(out.count() == 0)
+    assert(captured.captured.exists { case (lvl, m) =>
+      lvl == "CRITICAL" && m.contains("Duplicate header name") })
+  }
+
+  test("sourceCsv: valid file feeds the pipeline like any source") {
+    val out = graft.dsl.Dataflow("csv-flow2")
+      .sourceCsv(spark, "src/test/resources/csv/ValidFile.csv")
+      .transform(Required(Seq("B")))
+      .run()
+    // rows 4 and 5 have blank/whitespace B → stopped
+    assert(out.count() == 4)
+    assert(out.filter(graft.model.Events.stoppedCol).count() == 2)
+  }
+
   test("aggregate sink fans out sequentially; level filter works") {
     val a = new CollectingEventSink
     val b = new CollectingEventSink

@@ -87,6 +87,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("order repair: packed flavor ≡ TurnPos flavor on random unicode/dup/gap batches") {
+    val genBatch = for {
+      n <- Gen.choose(1, 25)
+      idxs <- Gen.listOfN(n, Gen.choose(0, 12))
+      texts <- Gen.listOfN(n, Gen.oneOf(
+        Gen.asciiPrintableStr, Gen.const("héllo wörld ✓"), Gen.const("")))
+      strict <- Gen.oneOf(true, false)
+    } yield (idxs, texts, strict)
+
+    forAll(genBatch, n = 10) { case (idxs, texts, strict) =>
+      val turns = idxs.zip(texts).zipWithIndex.map { case ((i, t), k) =>
+        TurnPos(s"c${k % 3}", i, "user", t, if (k % 2 == 0) null else "tool",
+          new Timestamp(i * 1000L), k.toLong)
+      }
+      val viaPos = OrderRepair.batch(turns.toDS(), strict).toDF()
+        .collect().map(_.toSeq).toSet
+      val viaPacked = OrderRepair.unpack(
+        OrderRepair.batchPacked(OrderRepair.pack(turns.toDF()), strict))
+        .collect().map(_.toSeq).toSet
+      assert(viaPacked == viaPos, s"strict=$strict idxs=$idxs")
+    }
+  }
+
   test("order repair (flush): emits every distinct key exactly once, sorted, min-pos winner") {
     forAll(Gen.listOfN(20, Gen.choose(0, 15))) { idxs =>
       val turns = idxs.zipWithIndex.map { case (i, k) =>

@@ -57,6 +57,18 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "x", 2L -> "A", 3L -> "b"))
   }
 
+  test("missing fields: Required fails the record; Truncate/Conversion no-op") {
+    val df = Seq((1L, "v")).toDF("pos", "present")
+    // Required on a field the record does not carry → created null + event
+    val req = Pipeline(df, Seq(Required(Seq("absent"))))
+    assert(req.columns.contains("absent"))
+    assert(events(req)(1L).size == 1)
+    // Truncate/Conversion on a missing field are dict-TryGetValue no-ops
+    val noop = Pipeline(df, Seq(Truncate(Map("absent" -> 3)), Conversion(Seq("absent"), "upper")))
+    assert(!noop.columns.contains("absent"))
+    assert(events(noop)(1L).isEmpty)
+  }
+
   test("build-time validation: bad plans fail before any job is submitted") {
     intercept[IllegalArgumentException](Required(Nil))
     intercept[IllegalArgumentException](Required(Seq("  ")))
