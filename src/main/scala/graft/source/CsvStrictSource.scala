@@ -168,6 +168,10 @@ private[source] final class Rfc4180Parser(
   private var nextRec: Either[(Long, String), (Long, Vector[String])] = _
   private var nextReady = false
 
+  locally { // a UTF-8 BOM is transport framing, not data (CsvHelper strips it)
+    if (peek() == 0xFEFF) readCh()
+  }
+
   locally { // raw line skip: CSV rules not yet active (CsvSource.cs:100-101)
     var skipped = 0
     while (skipped < skip && !done) {

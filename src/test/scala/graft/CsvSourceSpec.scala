@@ -63,6 +63,16 @@ class CsvSourceSpec extends AnyFunSuite {
     assert(r.events.head.description.contains("Could not find file"))
   }
 
+  test("UTF-8 BOM is stripped, not leaked into the first header name") {
+    val f = java.nio.file.Files.createTempFile("bom", ".csv")
+    java.nio.file.Files.write(f,
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ "A,B\n1,2\n".getBytes("UTF-8"))
+    val r = CsvStrictSource.read(spark, f.toString)
+    assert(r.events.isEmpty)
+    assert(r.df.columns.toSeq == Seq("A", "B", "pos"))
+    assert(r.df.collect().head.toSeq == Seq("1", "2", 2L))
+  }
+
   test("MultiLine: RFC-4180 quoted field containing a newline parses as one record") {
     val r = CsvStrictSource.read(spark, s"$dir/MultiLine.csv")
     assert(r.events.isEmpty)
