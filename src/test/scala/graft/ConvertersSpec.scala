@@ -76,8 +76,11 @@ class ConvertersSpec extends AnyFunSuite {
 
   test("ssn: 9 digits formats, separators stripped, wrong lengths fail") {
     val got = run(Converters.toSsn,
-      Seq("123456789", "123-45-6789", "98-7654321", "12345678", "1234567890", "abcdefghi"))
-    assert(got == Seq("123-45-6789", "123-45-6789", "987-65-4321", null, null, null))
+      Seq("123456789", "123-45-6789", "98-7654321",               // SSN tests :41-47
+        "12345678", "123-456-7890", "ABCDEFGHI",                  // SSN tests :28-31
+        "1234567890", "abcdefghi"))
+    assert(got == Seq("123-45-6789", "123-45-6789", "987-65-4321",
+      null, null, null, null, null))
   }
 
   test("decimal: plain, negative, thousands-grouped; malformed fails") {

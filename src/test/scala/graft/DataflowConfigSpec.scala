@@ -71,6 +71,22 @@ class DataflowConfigSpec extends AnyFunSuite {
     assert(row.getString(1) == "parent-tool") // default.tool from parent chain
   }
 
+  test("ConfigRun: spark-submit path writes valid/errors tables from the config tree") {
+    val out = java.nio.file.Files.createTempDirectory("cfg_run").toString
+    val input = Seq(
+      ("c1", 0, "tool", null.asInstanceOf[String]),
+      (null.asInstanceOf[String], 1, "user", "x")) // fails keys-Required
+      .toDF("conv_id", "turn_idx", "role", "tool")
+    val (valid, errors) =
+      graft.jobs.ConfigRun.run(spark, cfgRoot, "ImportFeed", "TestTenant", input, out)
+    assert(valid.count() == 1 && errors.count() == 1)
+    val v = spark.read.parquet(s"$out/valid")
+    assert(v.count() == 1)
+    assert(v.head.getAs[String]("role") == "tool_result") // leaf replace applied
+    val e = spark.read.parquet(s"$out/errors")
+    assert(e.head.getAs[String]("description").contains("required for the field [conv_id]"))
+  }
+
   test("synthesized dataflow applies keys-Required, defaults, replacements in order") {
     val flow = DataflowConfig.build(layers, "tenantAction")
     assert(flow.keys == Seq("conv_id", "turn_idx"))

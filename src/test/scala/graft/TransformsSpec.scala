@@ -50,11 +50,11 @@ class TransformsSpec extends AnyFunSuite {
     assert(d2 == Map(1L -> "v", 2L -> "D", 3L -> " "))
   }
 
-  test("replace: exact case-sensitive match only") {
-    val df = mk(1L -> "a", 2L -> "A", 3L -> "b")
+  test("replace: exact case-sensitive match only; null input is a no-op") {
+    val df = mk(1L -> "a", 2L -> "A", 3L -> "b", 4L -> null)
     val got = Pipeline(df, Seq(Replace(Seq("f"), Map("a" -> "x"))))
-      .select("pos", "f").as[(Long, String)].collect().toMap
-    assert(got == Map(1L -> "x", 2L -> "A", 3L -> "b"))
+      .select("pos", "f").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("x"), 2L -> Some("A"), 3L -> Some("b"), 4L -> None))
   }
 
   test("missing fields: Required fails the record; Truncate/Conversion no-op") {
