@@ -44,7 +44,12 @@ object Bench {
     // off-heap state store (RocksDB) — opt-in experiment knob: moves the
     // per-conversation repair state out of the GC'd heap
     sys.env.get("SPARK_GRAFT_STATESTORE").map(p =>
-      "spark.sql.streaming.stateStore.providerClass" -> p).toSeq
+      "spark.sql.streaming.stateStore.providerClass" -> p).toSeq ++
+    // tmpfs shuffle is memory-to-memory — compressing it is a CPU/bandwidth
+    // tradeoff knob worth A/B-ing on a bandwidth-starved box (a cluster
+    // with network shuffle keeps compression on)
+    sys.env.get("SPARK_GRAFT_SHUFFLE_COMPRESS").map(v =>
+      "spark.shuffle.compress" -> v).toSeq
 
   private def newSession(cores: Int): SparkSession = {
     val b = SparkSession.builder()

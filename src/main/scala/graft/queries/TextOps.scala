@@ -195,7 +195,10 @@ object TextOps {
       // LSH: 4 bands × 4 rows; candidate pairs share ≥1 band; estimated
       // Jaccard = fraction of equal minhashes. The band join is an equi-join
       // on (band_idx, band_value) — linear in data, no O(n²) pair scan.
-      val sig = signatures(augDocs(s, dir)).cache()
+      // read 3× (bands + both re-rank sides); MEMORY_AND_DISK spills rather
+      // than OOMs at scale — swap for checkpoint when recompute is cheaper
+      val sig = signatures(augDocs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = sig.select(col("doc_id"),
         array((0 until 4).map(b =>
           concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)): _*).as("bands"))
@@ -218,7 +221,8 @@ object TextOps {
 
     "q_dedup_simhash" -> ((s, dir) => {
       // SimHash near-dup: band on 12-bit chunks, verify hamming ≤ 6.
-      val sim = simhash(augDocs(s, dir)).cache()
+      val sim = simhash(augDocs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = sim.select(col("doc_id"), col("simhash"),
           posexplode(array((0 until 4).map(b =>
             expr(s"(simhash >> ${b * 12}) & 4095")): _*)))
