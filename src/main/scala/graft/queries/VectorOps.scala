@@ -37,9 +37,10 @@ object VectorOps {
     * single int bucket id.
     */
   def nbitsFor(corpusSize: Long, targetPerBucket: Long = 1024L): Int =
-    math.max(NBITS,
-      math.ceil(math.log(math.max(corpusSize, 1L).toDouble / targetPerBucket)
-        / math.log(2)).toInt)
+    math.min(30, // Int bucket id: 1 << b must not overflow
+      math.max(NBITS,
+        math.ceil(math.log(math.max(corpusSize, 1L).toDouble / targetPerBucket)
+          / math.log(2)).toInt))
 
   /** IVF coarse-quantizer size and probe count: k is FIXED (independent of
     * corpus size) so the broadcast side never grows with n; the deterministic

@@ -35,6 +35,7 @@ class AnnSpec extends AnyFunSuite {
     val widths = Seq(1L << 10, 1L << 15, 1L << 20, 1L << 30, 1L << 40)
       .map(VectorOps.nbitsFor(_))
     assert(widths == widths.sorted, "nbits must be monotone in corpus size")
+    assert(VectorOps.nbitsFor(Long.MaxValue) == 30, "bucket id must stay a valid Int")
   }
 
   test("bucket() honors the configured width (distinct ids exceed 8-bit range)") {
