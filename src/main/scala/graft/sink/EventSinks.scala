@@ -40,6 +40,8 @@ trait EventSink extends Serializable {
 
 class ConsoleEventSink(minimumLevel: String = "WARN") extends EventSink {
   private val order = Map("DEBUG" -> 0, "INFO" -> 1, "WARN" -> 2, "ERROR" -> 3, "CRITICAL" -> 4)
+  require(order.contains(minimumLevel), // sink validation decorator analog
+    s"Unknown minimum level [$minimumLevel]; expected one of ${order.keys.mkString(", ")}")
   def notify(level: String, message: String): Unit =
     if (order.getOrElse(level, 1) >= order.getOrElse(minimumLevel, 2))
       // scalastyle:off println

@@ -36,6 +36,9 @@ import org.apache.spark.sql.functions._
   */
 class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
                 numBuckets: Int = 16) {
+  require(keyCols.nonEmpty, "MergeSink needs at least one key column")
+  require(versionCol.trim.nonEmpty, "MergeSink needs a version column")
+  require(numBuckets > 0, "MergeSink needs a positive bucket count")
 
   private val root = Paths.get(tableDir)
   Files.createDirectories(root)
