@@ -95,12 +95,14 @@ object Bench {
       strict = false, gapMs = 600000L)
 
     val durations = ArrayBuffer.empty[Double]
+    val dropped = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit =
         if (e.progress.numInputRows > 0) {
           durations += e.progress.durationMs.getOrDefault("triggerExecution", 0L).toDouble
+          dropped.addAndGet(e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum)
           if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
             // scalastyle:off println
             println(s"GRAFT_BATCH rows=${e.progress.numInputRows} " +
@@ -124,7 +126,14 @@ object Bench {
     val sec = (System.nanoTime() - t0) / 1e9
     q.stop()
     spark.streams.removeListener(listener)
-    require(emitted == totalRows, s"repair emitted $emitted of $totalRows")
+    // rows silently dropped by the watermark (= arrival order violated the
+    // staged event-time order) make every throughput number a lie — fail the
+    // round WITH the diagnosis the round-2 driver bench lacked
+    if (emitted != totalRows)
+      throw new IllegalStateException(
+        s"repair emitted $emitted of $totalRows " +
+          s"(numRowsDroppedByWatermark=${dropped.get()}, batches=${durations.size}) — " +
+          "staged files likely consumed out of event-time order")
     val p95 =
       if (durations.isEmpty) 0.0
       else durations.sorted.apply(math.min(durations.size - 1, (durations.size * 0.95).toInt))
@@ -140,16 +149,38 @@ object Bench {
     val Array(cores, inputDir, rows) = args
     val spark = newSession(cores.toInt)
     try {
-      val best = (1 to 2).map(_ =>
+      val rounds = (1 to 2).flatMap { i =>
         // 64 files/trigger over 384 staged files = 6 micro-batches of
         // ~6.4M rows: same batch size as round 1 (p95 comparable), per-batch
         // fixed costs amortized (BASELINE.md finding 1) — measured ~0.5 s
         // serial per warm batch vs ~10 s of parallel work.
-        streamOnce(spark, inputDir, 64, rows.toLong)).minBy(_._3)
+        try Some(streamOnce(spark, inputDir, 64, rows.toLong))
+        catch {
+          case e: Throwable =>
+            // one bad round must not discard the JVM's other sample; the
+            // message reaches the parent via redirected stderr
+            System.err.println(s"GRAFT_ROUND_FAIL cores=$cores round=$i: ${e.getMessage}")
+            None
+        }
+      }
+      require(rounds.nonEmpty, s"both rounds failed at $cores cores")
+      val best = rounds.minBy(_._3)
       // scalastyle:off println
       println(f"GRAFT_RESULT ${best._1}%.1f ${best._2}%.1f ${best._3}%.2f")
       // scalastyle:on println
     } finally spark.stop()
+  }
+
+  /** Restamp every part file's mtime strictly increasing in path order
+    * (2 s spacing — safely above any filesystem's mtime granularity).
+    */
+  private def restampInPathOrder(dir: String): Unit = {
+    val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 2000L))
+    }
   }
 
   private def runPinned(cores: Int, inputDir: String, rows: Long): (Double, Double, Double) = {
@@ -175,12 +206,19 @@ object Bench {
       "-Xmx12g", "-Xmn8g", "-XX:+UseParallelGC") ++ jvmArgs ++
       Seq("-cp", cp, "graft.Bench", "child", cores.toString, inputDir, rows.toString)
     val out = new StringBuilder
+    // rolling tail of everything the child prints: without it a dead child
+    // leaves zero diagnostic signal in the driver artifact (round-2 lesson)
+    val tail = new scala.collection.mutable.ArrayDeque[String]
     val proc = new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
-    scala.io.Source.fromInputStream(proc.getInputStream).getLines()
-      .foreach(l => if (l.startsWith("GRAFT_RESULT")) out.append(l))
+    scala.io.Source.fromInputStream(proc.getInputStream).getLines().foreach { l =>
+      if (l.startsWith("GRAFT_RESULT")) out.append(l)
+      else if (l.nonEmpty) { tail.append(l); if (tail.size > 40) tail.removeHead() }
+    }
     proc.waitFor()
     val parts = out.toString.split("\\s+")
-    require(parts.length >= 4, s"child run at $cores cores produced no result")
+    require(parts.length >= 4,
+      s"child run at $cores cores produced no result (exit=${proc.exitValue()}); " +
+        s"last child output:\n${tail.mkString("\n")}")
     (parts(1).toDouble, parts(2).toDouble, parts(3).toDouble)
   }
 
@@ -195,9 +233,12 @@ object Bench {
     val spark = newSession(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a query that regresses to a crash must surface as an error marker,
+      // never get recorded as a (fast) timing
+      val err = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None
+      } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
 
     // ---- stage the streaming input once: transcript × replicate, with
@@ -215,6 +256,13 @@ object Bench {
       (col("pos") * replicate + col("rep")).as("pos"))
     amplified.repartitionByRange(nFiles, col("ts"), col("pos"))
       .write.mode("overwrite").parquet(inputDir)
+    // FileStreamSource consumes files in MODIFICATION-time order, and the 384
+    // parallel part writers finish out of range order (round-2 driver bench:
+    // 146 path-order inversions, ~3 h of event time arriving behind the
+    // 10-minute watermark → silent drops → emitted != totalRows). Part file
+    // NAMES follow the range-partition order, so restamping mtimes strictly
+    // increasing in path order makes arrival order = event-time order.
+    restampInPathOrder(inputDir)
     val totalRows = spark.read.parquet(inputDir).count()
     spark.stop()
 
@@ -243,8 +291,15 @@ object Bench {
     val eff2to8 = (thr8 / thr2) / 4.0
     val eff8to32 = (thr32 / thr8) / 4.0
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // errored queries: -1 sentinel in "queries" (keeps every value numeric
+    // for the driver's parser) + the message under "query_errors"
+    val qs = results.map { case (k, v, err) =>
+      "\"" + k + "\":" + (if (err.isEmpty) f"$v%.3f" else "-1")
+    }.mkString("{", ",", "}")
+    val qerrs = results.collect { case (k, _, Some(m)) =>
+      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
     val streaming =
       f"""{"input_turns":$totalRows,""" +
         f""""throughput_2":${thr2}%.1f,"throughput_8":${thr8}%.1f,"throughput_32":${thr32}%.1f,""" +
@@ -253,6 +308,6 @@ object Bench {
         f""""scaling_efficiency_2_to_8":${eff2to8}%.3f,"scaling_efficiency_8_to_32":${eff8to32}%.3f,""" +
         f""""scaling_efficiency":${eff2to8}%.3f,""" +
         """"note":"N-to-4N pairs; each level = best over taskset-pinned JVMs x 2 rounds (3 windows at 2 cores, 4 at 8, 2 at 32 - sample count follows each level's observed variance), JVMs interleaved across levels to decorrelate shared-VM noise; 8-to-32 saturates the single box's shared memory bandwidth, which separate executor machines would not"}"""
-    println(s"""{"metric":"streaming turns/sec @ 32 cores","value":${f"$thr32%.1f"},"unit":"turns/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"streaming":$streaming,"sf":"$sfDir"}""")
+    println(s"""{"metric":"streaming turns/sec @ 32 cores","value":${f"$thr32%.1f"},"unit":"turns/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"query_errors":$qerrs,"streaming":$streaming,"sf":"$sfDir"}""")
   }
 }

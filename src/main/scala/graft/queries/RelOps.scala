@@ -58,8 +58,9 @@ object RelOps {
           count(lit(1)).as("n_rows"))
     }),
 
-    // Custom codegen'd Catalyst expressions (no SQL oracle — rows-only
-    // check; exactness is asserted by FingerprintSpec instead).
+    // Custom codegen'd Catalyst expressions, oracle-checked: DuckDB folds
+    // the UTF-8 bytes with HUGEINT arithmetic mod 2^64 (see oracles below);
+    // exactness is additionally asserted by FingerprintSpec.
     "q_fingerprint" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.select(col("doc_id"),
@@ -79,7 +80,43 @@ object RelOps {
     })
   )
 
+  // ---- FNV-1a-64 in DuckDB: fold over UTF-8 bytes with HUGEINT (128-bit)
+  //      arithmetic mod 2^64, then two's-complement to signed BIGINT to
+  //      match graft.functions.Fnv64.hash. Bytes come from hex(encode(text))
+  //      because VARCHAR→BLOB casts reject non-ASCII. ----
+
+  private val Fnv1aFoldSql =
+    "(acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616"
+
+  private def fnvReduceSql(bytesExpr: String): String =
+    s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $bytesExpr), $Fnv1aFoldSql)"
+
+  private def toSignedSql(h: String): String =
+    s"CAST(CASE WHEN $h >= 9223372036854775808 THEN $h - 18446744073709551616 ELSE $h END AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
+
+    "q_fingerprint" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+         |  FROM documents
+         |), bl AS (
+         |  SELECT doc_id, n, list_transform(range(0, n),
+         |    i -> CAST(CAST(concat('0x', substr(hx, CAST(2*i+1 AS INT), 2)) AS BIGINT) AS HUGEINT)) AS bytes
+         |  FROM b
+         |), h AS (
+         |  SELECT doc_id, n,
+         |    ${fnvReduceSql("bytes")} AS whole,
+         |    CASE WHEN n >= 8 THEN list_transform(range(0, n - 7),
+         |      i -> ${fnvReduceSql("bytes[CAST(i+1 AS INT):CAST(i+8 AS INT)]")})
+         |    ELSE NULL END AS winh
+         |  FROM bl
+         |)
+         |SELECT doc_id,
+         |  ${toSignedSql("whole")} AS fnv64,
+         |  CASE WHEN winh IS NULL THEN ${toSignedSql("whole")}
+         |       ELSE list_min(list_transform(winh, w -> ${toSignedSql("w")})) END AS rolling_min8
+         |FROM h""".stripMargin,
 
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

@@ -178,11 +178,19 @@ object TextOps {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_dedup_exact" -> ((s, dir) => {
-      // Exact dedup by content hash-groupBy: min doc_id per text wins; every
-      // doc maps to its canonical + copy count. (Flag-don't-drop, like the
-      // reference Unique — reference: Transformations/Unique.cs:89-93.)
-      val w = Window.partitionBy(col("text"))
-      augDocs(s, dir).select(col("doc_id"), col("text"))
+      // Exact dedup by CONTENT HASH: min doc_id per content wins; every doc
+      // maps to its canonical + copy count. The shuffle key is a 128-bit
+      // fingerprint (fnv64 + independent xxhash64, both codegen'd map-side)
+      // instead of the raw text — at 100 TB the exchange hashes and sorts
+      // 16-byte keys, not multi-KB documents, and the text column is pruned
+      // before the exchange. Simultaneous 64+64-bit collision odds at 10^10
+      // docs ≈ 10^-19: the standard content-hash dedup contract. (Flag-
+      // don't-drop, like the reference Unique — Transformations/Unique.cs:89-93.)
+      val w = Window.partitionBy(col("__fp"), col("__fp2"))
+      augDocs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.fns.fnv64(col("text")).as("__fp"),
+          xxhash64(col("text")).as("__fp2"))
         .withColumn("canonical_id", min(col("doc_id")).over(w))
         .withColumn("n_copies", count(lit(1)).over(w))
         .select(col("doc_id"), col("canonical_id"), col("n_copies"),

@@ -183,25 +183,31 @@ object VectorOps {
       // its nearest centroid by cosine (the inverted file), queries probe
       // their IVF_NPROBE nearest cells and re-rank exactly within them.
       // Centroids are a deterministic md5-ranked sample standing in for
-      // k-means training. At scale the assignment is a broadcast of the
-      // k-row centroid set over the corpus — one map-side pass, no corpus
-      // shuffle; the probe search is an equi-join on cell id.
+      // k-means training. At scale the assignment is an argmax over k
+      // centroid LITERALS — one map-side pass, no corpus shuffle; the probe
+      // search is an equi-join on cell id against the broadcast query side.
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      val c = broadcast(centroids(e))
-      val scored = e.join(c)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
-          (dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("csim"))
-      val wAsg = Window.partitionBy(col("vec_id"))
-        .orderBy(round(col("csim"), 9).desc, col("cid").asc)
-      val asg = scored.withColumn("__rn", row_number().over(wAsg))
-        .filter(col("__rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-      val probes = scored.filter(col("vec_id") % 50 === 0)
-        .withColumn("__rn", row_number().over(wAsg))
-        .filter(col("__rn") <= IVF_NPROBE)
+      // k is FIXED and tiny, so collecting the k centroids to the driver is
+      // O(k) — they become LITERALS, and nearest-centroid assignment compiles
+      // to a map-side argmax (sorted array of (−csim, cid) structs) with no
+      // join, no window, no corpus shuffle. (The previous join+Window plan
+      // shuffled 16× the corpus just to pick each vector's best cell.)
+      val cents = centroids(e).collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      // ascending struct sort on (−round(csim,9), cid) ≡ csim DESC, cid ASC —
+      // the exact oracle ordering
+      val sortedCells = array_sort(array(cents.map { case (cid, ce, cn) =>
+        struct(
+          (round(dot(col("embedding"), typedLit(ce)) / (col("nrm") * lit(cn)), 9) * -1)
+            .as("negsim"),
+          lit(cid).as("cid"))
+      }: _*))
+      val asg = e.withColumn("cid", element_at(sortedCells, 1).getField("cid"))
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .withColumn("pcell", explode(slice(sortedCells, 1, IVF_NPROBE)))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("cid").as("pcid"))
+          col("nrm").as("qn"), col("pcell").getField("cid").as("pcid"))
       val pairs = asg.join(broadcast(probes),
           col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),

@@ -68,6 +68,25 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected extra exchange in:\n$p")
   }
 
+  test("q_ann_ivf: centroid assignment is map-side — no per-vector window, no corpus shuffle") {
+    val p = plan("q_ann_ivf")
+    // round 2 shape shuffled 16× the corpus through Window.partitionBy(vec_id)
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"corpus must not shuffle for centroid assignment:\n$p")
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"only the final top-k may use a window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, // distinct + top-k
+      s"unexpected extra exchange:\n$p")
+  }
+
+  test("q_dedup_exact: exchange partitions on the 128-bit fingerprint, not raw text") {
+    val p = plan("q_dedup_exact")
+    assert(p.contains("Exchange hashpartitioning(__fp"),
+      s"dedup shuffle key must be the content fingerprint:\n$p")
+    assert(!p.contains("hashpartitioning(text"),
+      s"raw document text must never be the shuffle key:\n$p")
+  }
+
   test("q_skew_salted_agg: two aggregation stages (salted partial, final)") {
     val p = plan("q_skew_salted_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 4) // 2 logical aggs × partial/final
