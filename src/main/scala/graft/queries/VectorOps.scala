@@ -98,6 +98,51 @@ object VectorOps {
   private val normSql =
     "sqrt(list_sum(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
+  // ---- production entry points: LSH width auto-sized to the corpus ----
+
+  /** Sign-LSH near-dup over an embedding corpus (`vec_id`, `embedding`):
+    * candidate pairs share a bucket whose width grows with `corpusSize`
+    * ([[nbitsFor]]), so expected bucket occupancy — and the per-bucket
+    * self-join cost — stays bounded as n grows; exact cosine verify ≥
+    * `minCos` after candidate generation. The oracle fixture
+    * `q_embed_neardup` routes through this with a corpus small enough that
+    * the width floors at the DuckDB-reproducible 8 bits.
+    */
+  def embedNearDup(e0: DataFrame, corpusSize: Long, minCos: Double = 0.99,
+                   targetPerBucket: Long = 1024L): DataFrame = {
+    val nbits = nbitsFor(corpusSize, targetPerBucket)
+    val e = e0.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), bucket(col("embedding"), nbits).as("bkt"))
+    e.as("x").join(e.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        (dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Sign-LSH bucketed ANN top-k: query rows (selected by `isQuery`) are
+    * broadcast; candidates share an LSH bucket sized to the corpus; exact
+    * re-rank within the bucket. Same width-floor note as [[embedNearDup]].
+    */
+  def annLsh(e0: DataFrame, isQuery: Column, corpusSize: Long, k: Int = 5,
+             targetPerBucket: Long = 1024L): DataFrame = {
+    val nbits = nbitsFor(corpusSize, targetPerBucket)
+    val e = e0.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), bucket(col("embedding"), nbits).as("bkt"))
+    val q = broadcast(e.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bkt").as("qbkt")))
+    val pairs = e.join(q, col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos"), 9).desc, col("nid").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Fixed-k deterministic coarse quantizer: the k vectors ranked first by
     * md5(vec_id) — a uniform pseudo-random sample both engines reproduce
     * bit-for-bit. The output is ALWAYS k rows, whatever the corpus size:
@@ -146,34 +191,17 @@ object VectorOps {
     "q_ann_lsh" -> ((s, dir) => {
       // Scale path: candidates share a sign-LSH bucket (equi-join on bucket
       // id), then exact re-rank within the bucket. Linear candidate
-      // generation; recall traded for the O(n²) scan.
+      // generation; recall traded for the O(n²) scan. Width = nbitsFor(n)
+      // (floors at the oracle's 8 bits for every test SF).
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding"),
-          norm(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
-      val q = broadcast(e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("bkt").as("qbkt")))
-      val pairs = e.join(q, col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          (dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cos"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(round(col("cos"), 9).desc, col("nid").asc)
-      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-        .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+      annLsh(e, col("vec_id") % 50 === 0, e.count())
     }),
 
     "q_embed_neardup" -> ((s, dir) => {
-      // Embedding-cosine near-dup via LSH buckets + exact verify ≥ 0.99.
-      val e = augEmb(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          norm(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
-      e.as("x").join(e.as("y"),
-          col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-          (dot(col("x.embedding"), col("y.embedding")) /
-            (col("x.nrm") * col("y.nrm"))).as("cos"))
-        .filter(col("cos") >= 0.99)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      // Embedding-cosine near-dup via corpus-sized LSH buckets + exact
+      // verify ≥ 0.99 (width floors at the oracle's 8 bits at test SFs).
+      val aug = augEmb(s, dir)
+      embedNearDup(aug, aug.count())
     }),
 
     "q_ann_ivf" -> ((s, dir) => {

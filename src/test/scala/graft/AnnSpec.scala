@@ -38,6 +38,32 @@ class AnnSpec extends AnyFunSuite {
     assert(VectorOps.nbitsFor(Long.MaxValue) == 30, "bucket id must stay a valid Int")
   }
 
+  test("auto width keeps mean bucket occupancy bounded as the corpus grows") {
+    // pseudo-random 64-dim vectors; 16× more data must NOT mean 16× fuller
+    // buckets — nbitsFor widens the hash so the per-bucket self-join cost
+    // (the quadratic term of the near-dup/ANN candidate join) stays bounded
+    def mix(v0: Long): Long = { // splitmix64 finalizer — iid-uniform values
+      var v = v0 + 0x9e3779b97f4a7c15L
+      v = (v ^ (v >>> 30)) * 0xbf58476d1ce4e5b9L
+      v = (v ^ (v >>> 27)) * 0x94d049bb133111ebL
+      v ^ (v >>> 31)
+    }
+    def corpus(n: Int) = (0 until n).map(i =>
+      (i.toLong, Array.tabulate(64)(d => ((mix(i * 64L + d) % 1000L) / 10.0f))))
+      .toDF("vec_id", "embedding")
+    val n = 1 << 14
+    val c = corpus(n).cache()
+    def meanOcc(nb: Int): Double =
+      n.toDouble / c.select(VectorOps.bucket(col("embedding"), nb).as("b"))
+        .distinct().count()
+    val nbAuto = VectorOps.nbitsFor(n, targetPerBucket = 16)
+    assert(nbAuto > 8, "width must grow past the fixture floor at this n")
+    val (occAuto, occFixed) = (meanOcc(nbAuto), meanOcc(8))
+    c.unpersist()
+    assert(occAuto * 2 <= occFixed,
+      s"auto width must at least halve fixed-width occupancy: $occAuto vs $occFixed")
+  }
+
   test("bucket() honors the configured width (distinct ids exceed 8-bit range)") {
     val vecs = (0 until 64)
       .map(i => Array.tabulate(64)(d => math.sin(i * 31 + d * 7).toFloat))

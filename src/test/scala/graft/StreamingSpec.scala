@@ -14,6 +14,12 @@ import graft.stream.{OrderRepair, StreamDedup, ToolPair, TurnPos}
   * arrival, watermark-driven state eviction, dedup-within-watermark, and
   * stream-stream tool pairing (FIXTURES.md §5 scripts).
   */
+object StreamingSpec {
+  /** Event row for the windowed-aggregation streaming-vs-batch checks. */
+  case class Ev(event_id: Long, user_id: String, event_type: String,
+                value: Double, ts: Timestamp)
+}
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -122,6 +128,69 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table(name).collect()
       .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))).toSeq.sorted
     assert(got == Seq(("a", 0), ("a", 2), ("a", 3), ("z", 0), ("z", 1)))
+  }
+
+  test("sliding window (streaming) equals the batch query on the same events") {
+    import spark.implicits._
+    implicit val enc = Encoders.product[StreamingSpec.Ev]
+    val events = Seq(
+      StreamingSpec.Ev(1, "u1", "click", 1.0, ts(600)),
+      StreamingSpec.Ev(2, "u1", "click", 2.0, ts(2400)),
+      StreamingSpec.Ev(3, "u2", "view", 3.0, ts(2500)),
+      StreamingSpec.Ev(4, "u2", "click", 4.0, ts(5400)),
+      StreamingSpec.Ev(5, "u1", "view", 5.0, ts(7300)))
+    def slide(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+    val ms = MemoryStream[StreamingSpec.Ev](enc, spark)
+    val name = s"slide_${System.nanoTime()}"
+    val q = slide(ms.toDS().withWatermark("ts", "10 seconds").toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString).start()
+    ms.addData(events)
+    q.processAllAvailable()
+    // far-future sentinel advances the watermark past every real window end;
+    // its own windows stay open and never emit
+    ms.addData(Seq(StreamingSpec.Ev(99, "zz", "zz", 0.0, ts(864000))))
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(canon(spark.table(name)) == canon(slide(events.toDF())))
+  }
+
+  test("session window (streaming) equals the batch query on the same events") {
+    import spark.implicits._
+    implicit val enc = Encoders.product[StreamingSpec.Ev]
+    val events = Seq(
+      StreamingSpec.Ev(1, "u1", "e", 0, ts(100)),
+      StreamingSpec.Ev(2, "u1", "e", 0, ts(400)),   // same session (gap < 10 min)
+      StreamingSpec.Ev(3, "u1", "e", 0, ts(1200)),  // new session (gap >= 10 min)
+      StreamingSpec.Ev(4, "u2", "e", 0, ts(150)))
+    def sess(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+    val ms = MemoryStream[StreamingSpec.Ev](enc, spark)
+    val name = s"sess_${System.nanoTime()}"
+    val q = sess(ms.toDS().withWatermark("ts", "10 seconds").toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString).start()
+    // split across micro-batches: session 1 must merge events arriving apart
+    ms.addData(events.take(2))
+    q.processAllAvailable()
+    ms.addData(events.drop(2))
+    q.processAllAvailable()
+    ms.addData(Seq(StreamingSpec.Ev(99, "zz", "e", 0, ts(864000))))
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+        r.getString(2), r.getLong(3))).toSeq.sorted
+    assert(canon(spark.table(name)) == canon(sess(events.toDF())))
   }
 
   test("dedup within watermark drops later duplicates across micro-batches") {
