@@ -72,16 +72,18 @@ case class Dataflow(
   def run(): DataFrame = {
     require(sources.nonEmpty, s"Dataflow [$name] requires at least one source")
     // Lifecycle notifications, the reference's IEventSinkHandler channel
-    // (ConsoleEventSink.cs:44-95): dataflow/source started & completed fire
-    // at plan composition (the "read" in a lazy engine); the per-RECORD
+    // (ConsoleEventSink.cs:44-95). In a lazy engine nothing is READ at this
+    // point — plans compose now, data moves when an action runs — so the
+    // source messages say "attached", not the reference's "reading has
+    // ended" (which its eager reader can honestly claim). The per-RECORD
     // volume stays data-parallel through ErrorSplit — driver-side per-record
     // logging would serialize the cluster.
     notifyAll("INFO", s"Executing dataflow: $name")
     sourceEvents.foreach { case (level, msg) => notifyAll(level, msg) }
     val input = sources.zipWithIndex.map { case (s, i) =>
-      notifyAll("INFO", s"Reading from data source [$name/source_$i] beginning")
+      notifyAll("INFO", s"Attaching data source [$name/source_$i]")
       val out = s
-      notifyAll("INFO", s"Reading from data source [$name/source_$i] has ended")
+      notifyAll("INFO", s"Data source [$name/source_$i] attached")
       out
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     val prefix: Seq[Transformation] =

@@ -83,11 +83,15 @@ object DataflowConfig {
   private def locate(root: java.nio.file.Path, config: String,
                      action: String): java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
-    val matches = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(p => java.nio.file.Files.isDirectory(p) && p.getFileName.toString == config)
-      .map(_.resolve(s"$action.yml"))
-      .filter(java.nio.file.Files.exists(_))
-      .toVector
+    // Files.walk returns a Stream holding directory handles — must be closed
+    val walk = java.nio.file.Files.walk(root)
+    val matches =
+      try walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) && p.getFileName.toString == config)
+        .map(_.resolve(s"$action.yml"))
+        .filter(java.nio.file.Files.exists(_))
+        .toVector
+      finally walk.close()
     matches.size match {
       case 0 => root.resolve(config).resolve(s"$action.yml")
       case 1 => matches.head

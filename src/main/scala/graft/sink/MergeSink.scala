@@ -29,10 +29,11 @@ import org.apache.spark.sql.functions._
   *     micro-batch (same batchId after restart) is a no-op:
   *     foreachBatch + checkpoint ⇒ exactly-once
   *
-  * At 10^12-turn scale the bucket count rises with the key cardinality and
-  * the per-batch work stays proportional to the batch's key spread, exactly
-  * like Iceberg's merge-on-read partition pruning. A real Iceberg catalog
-  * drops in behind the same merge(batch, batchId) interface.
+  * At 10^12-turn scale the bucket count rises with the key cardinality via
+  * [[rebucket]] (read-all → re-hash → one commit), and the per-batch work
+  * stays proportional to the batch's key spread, exactly like Iceberg's
+  * merge-on-read partition pruning. A real Iceberg catalog drops in behind
+  * the same merge(batch, batchId) interface.
   */
 class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
                 numBuckets: Int = 16) {
@@ -62,12 +63,27 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
   /** bucket → data dir (relative to root). */
   private def readManifest(v: Long): Map[Int, String] =
     if (v < 0 || !Files.exists(manifestPath(v))) Map.empty
-    else Files.readString(manifestPath(v)).split("\n").filter(_.nonEmpty).map { line =>
-      val Array(b, dir) = line.split("\t")
-      b.toInt -> dir
-    }.toMap
+    else Files.readString(manifestPath(v)).split("\n")
+      .filter(l => l.nonEmpty && !l.startsWith("buckets\t")).map { line =>
+        val Array(b, dir) = line.split("\t")
+        b.toInt -> dir
+      }.toMap
 
-  private def bucketCol = pmod(hash(keyCols.map(col): _*), lit(numBuckets))
+  private def readBucketCount(v: Long): Option[Int] =
+    if (v < 0 || !Files.exists(manifestPath(v))) None
+    else Files.readString(manifestPath(v)).split("\n")
+      .find(_.startsWith("buckets\t")).map(_.split("\t")(1).toInt)
+
+  /** Effective bucket count: an existing table's JOURNALED width wins over
+    * the constructor argument (an Iceberg-table-property analog) — reopening
+    * with a different default can therefore never silently mis-bucket the
+    * manifest. Grows via [[rebucket]].
+    */
+  private var buckets: Int = readBucketCount(currentVersion).getOrElse(numBuckets)
+
+  def bucketCount: Int = buckets
+
+  private def bucketCol = pmod(hash(keyCols.map(col): _*), lit(buckets))
 
   def read(spark: SparkSession): DataFrame = {
     val dirs = readManifest(currentVersion).values.toSeq.distinct
@@ -136,36 +152,72 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
     val next = v + 1
     val dataDir = s"data_v$next"
     merged
-      .repartition(math.min(touched.size, numBuckets), col("__bucket"))
+      .repartition(math.min(touched.size, buckets), col("__bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(root.resolve(dataDir).toString)
 
     // a tombstone batch can empty a touched bucket entirely — only buckets
     // that actually wrote rows enter the manifest; emptied ones drop out
-    val written = Option(root.resolve(dataDir).toFile.listFiles())
-      .getOrElse(Array.empty)
-      .collect { case f if f.getName.startsWith("__bucket=") =>
-        f.getName.stripPrefix("__bucket=").toInt }
-      .toSet
+    val written = writtenBuckets(dataDir)
     val newManifest = manifest.filterNot { case (b, _) => touched.contains(b) } ++
       (touched & written).map(b => b -> s"$dataDir/__bucket=$b")
     journal(next, newManifest, batchId)
     gc(newManifest)
   }
 
+  /** Admin migration: rewrite the WHOLE table at a new bucket width under
+    * the next manifest version — read-all → re-hash → one atomic commit
+    * (the usual write-data-then-flip discipline; a crash leaves the old
+    * version current). Run it when key cardinality has outgrown the width
+    * (per-bucket dirs getting too large); subsequent merges and reopened
+    * sinks pick the journaled width up automatically.
+    */
+  def rebucket(spark: SparkSession, newBuckets: Int): Unit = synchronized {
+    require(newBuckets > 0, "rebucket needs a positive bucket count")
+    if (newBuckets == buckets) return
+    val v = currentVersion
+    val all = read(spark)
+    buckets = newBuckets
+    val next = v + 1
+    val newManifest =
+      if (readManifest(v).isEmpty) Map.empty[Int, String]
+      else {
+        val dataDir = s"data_v$next"
+        all.withColumn("__bucket", bucketCol)
+          .repartition(math.min(newBuckets, 512), col("__bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+          .parquet(root.resolve(dataDir).toString)
+        writtenBuckets(dataDir).map(b => b -> s"$dataDir/__bucket=$b").toMap
+      }
+    writeVersion(next, newManifest)
+    gc(newManifest)
+  }
+
+  private def writtenBuckets(dataDir: String): Set[Int] =
+    Option(root.resolve(dataDir).toFile.listFiles())
+      .getOrElse(Array.empty)
+      .collect { case f if f.getName.startsWith("__bucket=") =>
+        f.getName.stripPrefix("__bucket=").toInt }
+      .toSet
+
   private def journal(version: Long, manifest: Map[Int, String], batchId: Long): Unit = {
-    Files.writeString(manifestPath(version),
-      manifest.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" }.mkString("", "\n", "\n"))
-    val tmp = root.resolve("_current.tmp")
-    Files.writeString(tmp, version.toString)
-    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    // _commits gets the same tmp + atomic-move discipline as _current: a
-    // crash mid-write must never leave a torn journal.
+    writeVersion(version, manifest)
     val ctmp = root.resolve("_commits.tmp")
     Files.writeString(ctmp,
       (committedBatches + batchId).toSeq.sorted.mkString("", "\n", "\n"))
     Files.move(ctmp, commitsPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Manifest (with its journaled bucket width) + atomic `_current` flip. */
+  private def writeVersion(version: Long, manifest: Map[Int, String]): Unit = {
+    Files.writeString(manifestPath(version),
+      (s"buckets\t$buckets" +:
+        manifest.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
+        .mkString("", "\n", "\n"))
+    val tmp = root.resolve("_current.tmp")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 

@@ -25,8 +25,10 @@ import graft.model.LogEvent
   *     the delimiter and NEWLINES (multi-line records); a quote inside an
   *     unquoted field, characters after a closing quote, or EOF inside a
   *     quoted field are all fatal bad data (CsvSource.cs:69-72)
-  *   - configurable delimiter / comment char / blank-line handling
-  *     (CsvSource.cs:66-82)
+  *   - configurable delimiter / comment char / blank-line handling /
+  *     quote char / escape char (CsvSource.cs:66-82; escape == quote
+  *     gives the RFC `""` doubling, a distinct escape mirrors
+  *     CsvConfiguration.Escape)
   *   - values trimmed; blank → null; column-count change / missing file →
   *     fatal; ALL-OR-NOTHING: any fatal error yields ZERO rows
   *
@@ -54,19 +56,27 @@ object CsvStrictSource {
   def read(spark: SparkSession, path: String, header: Boolean = true,
            skip: Int = 0, delimiter: Char = ',',
            allowComments: Boolean = false, comment: Char = '#',
-           ignoreBlankLines: Boolean = true): Result = {
+           ignoreBlankLines: Boolean = true,
+           quote: Char = '"', escape: Char = '\u0000'): Result = {
+    // escape defaults to the quote char — RFC-4180 `""` doubling; pass a
+    // distinct char (e.g. '\\') for CsvConfiguration.Escape-style escaping
+    val esc = if (escape == '\u0000') quote else escape
     val file = new java.io.File(path)
     if (!file.exists())
       return Result(emptyDf(spark),
         Seq(LogEvent(stop = true, LogEvent.Critical, s"Could not find file", path)))
     try {
+      // broken configurations surface as stop events via the NonFatal catch,
+      // mirroring the reference's CsvConfiguration validation throw
+      require(quote != delimiter, s"quote and delimiter are both '$quote'")
+      require(comment != delimiter, s"comment and delimiter are both '$comment'")
       // ---- driver: parse ONLY the first record to fix names/width ----
       val first = {
         val r = new BufferedReader(new InputStreamReader(
           new java.io.FileInputStream(file), StandardCharsets.UTF_8))
         try {
           val p = new Rfc4180Parser(r, skip, delimiter, allowComments, comment,
-            ignoreBlankLines)
+            ignoreBlankLines, quote, esc)
           if (p.hasNext) Some(p.next()) else None
         } finally r.close()
       }
@@ -92,20 +102,24 @@ object CsvStrictSource {
                   s"Duplicate header name: ${dups.toSeq.sorted.mkString(", ")}", path)))
           }
           val width = names.size
-          val absPath = file.getAbsolutePath
+          // RAW absolute path with an explicit scheme: Hadoop's Path(String)
+          // quotes spaces/#/etc itself and does NOT decode %-escapes, so a
+          // java.net.URI-encoded string would be looked up literally
+          val filePath = "file:" + file.getAbsolutePath
 
           def parsedRecords(): org.apache.spark.rdd.RDD[Either[Err, Rec]] =
-            spark.sparkContext.binaryFiles(s"file://$absPath").flatMap {
+            spark.sparkContext.binaryFiles(filePath).flatMap {
               case (_, stream) =>
                 val reader = new BufferedReader(new InputStreamReader(
                   stream.open(), StandardCharsets.UTF_8))
+                // close on task completion, not iterator exhaustion — the
+                // preview pass's collectFirst abandons the iterator at the
+                // first error and would otherwise leak the open reader
+                Option(org.apache.spark.TaskContext.get())
+                  .foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
                 val it = new Rfc4180Parser(reader, skip, delimiter,
-                  allowComments, comment, ignoreBlankLines)
-                val data = if (header) it.drop(1) else it
-                new Iterator[Either[Err, Rec]] {
-                  def hasNext: Boolean = { val h = data.hasNext; if (!h) reader.close(); h }
-                  def next(): Either[Err, Rec] = data.next()
-                }
+                  allowComments, comment, ignoreBlankLines, quote, esc)
+                if (header) it.drop(1) else it
             }
 
           // ---- pass 1 (preview): first parse/shape error, in file order ----
@@ -153,13 +167,17 @@ object CsvStrictSource {
 /** Streaming RFC-4180 record reader: pulls characters, never buffers more
   * than one record. Yields `Left((line, message))` on the first bad data
   * and stops. Quoted fields may span lines (line separators inside quotes
-  * are normalized to '\n'); `""` escapes a quote; a quote in an unquoted
-  * field, any character between a closing quote and the next delimiter/EOL,
-  * or EOF inside quotes is fatal.
+  * are normalized to '\n'); a doubled quote escapes a quote when
+  * escape == quote (the RFC default); with a distinct escape char (the
+  * reference's CsvConfiguration.Escape, CsvSource.cs:66-82) the escape
+  * inside a quoted field escapes the quote char or itself. A quote in an
+  * unquoted field, any character between a closing quote and the next
+  * delimiter/EOL, or EOF inside quotes is fatal.
   */
 private[source] final class Rfc4180Parser(
     in: Reader, skip: Int, delimiter: Char, allowComments: Boolean,
-    comment: Char, ignoreBlankLines: Boolean)
+    comment: Char, ignoreBlankLines: Boolean,
+    quote: Char = '"', escape: Char = '"')
     extends Iterator[Either[(Long, String), (Long, Vector[String])]] {
 
   private var line = 1L
@@ -255,11 +273,16 @@ private[source] final class Rfc4180Parser(
           }
         case d if d == delimiter && state != 2 =>
           fields += cur.result(); cur.clear(); state = 0
-        case '"' =>
+        case e if state == 2 && e == escape && escape != quote =>
+          // distinct escape char: inside quotes it escapes the quote (and
+          // itself); anything else keeps it literal
+          if (peek() == quote || peek() == escape) cur.append(readCh().toChar)
+          else cur.append(e.toChar)
+        case q if q == quote =>
           state match {
             case 0 => state = 2
             case 2 =>
-              if (peek() == '"') { readCh(); cur.append('"') }
+              if (escape == quote && peek() == quote) { readCh(); cur.append(quote) }
               else state = 3
             case _ => // quote in unquoted field, or after a closing quote
               return Left((line, "Unescaped quote found"))

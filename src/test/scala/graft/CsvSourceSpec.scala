@@ -113,6 +113,51 @@ class CsvSourceSpec extends AnyFunSuite {
     assert(strict.df.count() == 0 && strict.fatal)
   }
 
+  private def writeTemp(name: String, content: String): String = {
+    val f = java.nio.file.Files.createTempFile(name, ".csv")
+    java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("custom quote char: single-quoted fields carry delimiters and doubled quotes") {
+    val p = writeTemp("quote", "A,B\n'x,1','it''s'\n2,3\n")
+    val r = CsvStrictSource.read(spark, p, quote = '\'')
+    assert(r.events.isEmpty)
+    val rows = r.df.orderBy("pos").collect()
+    assert(rows(0).toSeq == Seq("x,1", "it's", 2L))
+    assert(rows(1).toSeq == Seq("2", "3", 3L))
+    // a standard double quote is now plain data
+    val p2 = writeTemp("quote2", "A,B\n\"x,\"y\n")
+    val r2 = CsvStrictSource.read(spark, p2, quote = '\'')
+    assert(r2.events.isEmpty)
+    assert(r2.df.collect().head.toSeq == Seq("\"x", "\"y", 2L))
+  }
+
+  test("distinct escape char: backslash escapes the quote (and itself) inside quotes") {
+    val p = writeTemp("escape", "A,B\n\"he said \\\"hi\\\"\",\"c:\\\\tmp\"\n")
+    val r = CsvStrictSource.read(spark, p, escape = '\\')
+    assert(r.events.isEmpty)
+    assert(r.df.collect().head.toSeq == Seq("he said \"hi\"", "c:\\tmp", 2L))
+    // with escape == quote (default) the same file is fatal bad data
+    val strict = CsvStrictSource.read(spark, p)
+    assert(strict.df.count() == 0 && strict.fatal)
+    assert(strict.events.head.description.startsWith("Unescaped quote found"))
+  }
+
+  test("broken configuration (quote == delimiter) is a stop event, not a crash") {
+    val r = CsvStrictSource.read(spark, s"$dir/ValidFile.csv", quote = ',')
+    assert(r.df.count() == 0 && r.fatal)
+  }
+
+  test("path with spaces and URI-special characters reads fine") {
+    val d = java.nio.file.Files.createTempDirectory("csv dir with spaces")
+    val f = d.resolve("odd name #1.csv")
+    java.nio.file.Files.write(f, "A,B\n1,2\n".getBytes("UTF-8"))
+    val r = CsvStrictSource.read(spark, f.toString)
+    assert(r.events.isEmpty)
+    assert(r.df.collect().head.toSeq == Seq("1", "2", 2L))
+  }
+
   test("BlankLines: ignored by default; a width error when ignoreBlankLines=false") {
     val r = CsvStrictSource.read(spark, s"$dir/BlankLines.csv")
     assert(r.events.isEmpty)

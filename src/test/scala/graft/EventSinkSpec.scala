@@ -33,7 +33,7 @@ class EventSinkSpec extends AnyFunSuite {
     flow.run().count()
     val msgs = captured.captured.map(_._2)
     assert(msgs.head == "Executing dataflow: lifecycle-test")
-    assert(msgs.count(_.contains("Reading from data source")) == 4) // 2 sources × begin/end
+    assert(msgs.count(_.toLowerCase.contains("data source")) == 4) // 2 sources × attach begin/done
     assert(msgs.last == "Completed dataflow: lifecycle-test")
   }
 

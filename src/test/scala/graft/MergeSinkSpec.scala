@@ -26,6 +26,30 @@ class MergeSinkSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"), r.getAs[String]("text")))
       .toSet
 
+  test("rebucket migration: rows survive, width is journaled, reopening honors it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("merge_rebucket").toString
+    val sink = new MergeSink(dir, Seq("conv_id", "turn_idx"), "pos", numBuckets = 4)
+    sink.merge((0 until 40).map(i => turn(s"c$i", i, s"v$i", i)).toDF(), 0L)
+    assert(sink.bucketCount == 4)
+    val before = tableOf(sink)
+    sink.rebucket(spark, 16)
+    assert(sink.bucketCount == 16)
+    assert(tableOf(sink) == before)
+    // merges after the migration land on the new width
+    sink.merge(Seq(turn("c1", 1, "updated", 100)).toDF(), 1L)
+    assert(tableOf(sink).contains(("c1", 1, "updated")))
+    assert(tableOf(sink).size == before.size)
+    // a REOPENED sink with a different constructor default must use the
+    // journaled width — a mismatched width would mis-route every key
+    val reopened = new MergeSink(dir, Seq("conv_id", "turn_idx"), "pos", numBuckets = 7)
+    assert(reopened.bucketCount == 16)
+    assert(tableOf(reopened) == tableOf(sink))
+    reopened.merge(Seq(turn("c1", 1, "again", 200)).toDF(), 2L)
+    assert(tableOf(reopened).contains(("c1", 1, "again")))
+    assert(tableOf(reopened).size == before.size)
+  }
+
   test("merge: tombstones delete keys exactly-once; replays converge") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
@@ -88,8 +112,9 @@ class MergeSinkSpec extends AnyFunSuite {
     // batch 1 touches exactly one key → at most one bucket rewritten
     sink.merge(Seq(turn("c0", 0, "v2", 100L)).toDF(), 1L)
     val manifest1 = Files.readString(java.nio.file.Paths.get(dir, "_manifest.1"))
-    val entries0 = manifest0.linesIterator.map(_.split("\t")).map(a => a(0) -> a(1)).toMap
-    val entries1 = manifest1.linesIterator.map(_.split("\t")).map(a => a(0) -> a(1)).toMap
+    def entries(m: String) = m.linesIterator.filterNot(_.startsWith("buckets"))
+      .map(_.split("\t")).map(a => a(0) -> a(1)).toMap
+    val (entries0, entries1) = (entries(manifest0), entries(manifest1))
     val changed = entries1.filter { case (b, d) => entries0.get(b).exists(_ != d) }
     assert(changed.size == 1, s"expected one rewritten bucket, got $changed")
     assert(entries1.filter(_._2.startsWith("data_v0")).size == entries0.size - 1)
