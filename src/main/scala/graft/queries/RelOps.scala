@@ -88,35 +88,43 @@ object RelOps {
   private val Fnv1aFoldSql =
     "(acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616"
 
-  private def fnvReduceSql(bytesExpr: String): String =
+  private[queries] def fnvReduceSql(bytesExpr: String): String =
     s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $bytesExpr), $Fnv1aFoldSql)"
 
-  private def toSignedSql(h: String): String =
+  private[queries] def toSignedSql(h: String): String =
     s"CAST(CASE WHEN $h >= 9223372036854775808 THEN $h - 18446744073709551616 ELSE $h END AS BIGINT)"
+
+  /** `doc_id, fnv64, rolling_min8` over `srcTable` — DuckDB equivalent of
+    * the Fnv64 / RollingMinHash(k=8) codegen expressions.
+    */
+  private[queries] def fingerprintSql(srcTable: String): String =
+    s"""b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+       |  FROM $srcTable
+       |), bl AS (
+       |  SELECT doc_id, n, list_transform(range(0, n),
+       |    i -> CAST(CAST(concat('0x', substr(hx, CAST(2*i+1 AS INT), 2)) AS BIGINT) AS HUGEINT)) AS bytes
+       |  FROM b
+       |), h AS (
+       |  SELECT doc_id, n,
+       |    ${fnvReduceSql("bytes")} AS whole,
+       |    CASE WHEN n >= 8 THEN list_transform(range(0, n - 7),
+       |      i -> ${fnvReduceSql("bytes[CAST(i+1 AS INT):CAST(i+8 AS INT)]")})
+       |    ELSE NULL END AS winh
+       |  FROM bl
+       |), fp AS (
+       |  SELECT doc_id,
+       |    ${toSignedSql("whole")} AS fnv64,
+       |    CASE WHEN winh IS NULL THEN ${toSignedSql("whole")}
+       |         ELSE list_min(list_transform(winh, w -> ${toSignedSql("w")})) END AS rolling_min8
+       |  FROM h
+       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
     "q_fingerprint" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-         |  FROM documents
-         |), bl AS (
-         |  SELECT doc_id, n, list_transform(range(0, n),
-         |    i -> CAST(CAST(concat('0x', substr(hx, CAST(2*i+1 AS INT), 2)) AS BIGINT) AS HUGEINT)) AS bytes
-         |  FROM b
-         |), h AS (
-         |  SELECT doc_id, n,
-         |    ${fnvReduceSql("bytes")} AS whole,
-         |    CASE WHEN n >= 8 THEN list_transform(range(0, n - 7),
-         |      i -> ${fnvReduceSql("bytes[CAST(i+1 AS INT):CAST(i+8 AS INT)]")})
-         |    ELSE NULL END AS winh
-         |  FROM bl
-         |)
-         |SELECT doc_id,
-         |  ${toSignedSql("whole")} AS fnv64,
-         |  CASE WHEN winh IS NULL THEN ${toSignedSql("whole")}
-         |       ELSE list_min(list_transform(winh, w -> ${toSignedSql("w")})) END AS rolling_min8
-         |FROM h""".stripMargin,
+      s"""WITH ${fingerprintSql("documents")}
+         |SELECT doc_id, fnv64, rolling_min8 FROM fp""".stripMargin,
 
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

@@ -197,6 +197,24 @@ object TextOps {
           (col("doc_id") === col("canonical_id")).as("is_canonical"))
     }),
 
+    "q_dedup_rolling" -> ((s, dir) => {
+      // Winnowing-style near-dup PREFILTER: candidates share the minimum
+      // FNV hash over all 8-byte windows (one codegen pass per doc, no
+      // explode — graft.functions.RollingMinHash). Two docs sharing any
+      // 8-byte run of content collide on this value with high probability;
+      // `exact_dup` marks which candidates are whole-content equal.
+      // Candidate generation is an equi-join on the 8-byte fingerprint —
+      // at 100 TB, hot fingerprints (boilerplate runs) get the same
+      // DF-cap treatment as hot shingles (ShingleDfCap above).
+      val d = augDocs(s, dir).select(col("doc_id"),
+        graft.functions.fns.rolling_min_hash(col("text"), 8).as("rfp"),
+        graft.functions.fns.fnv64(col("text")).as("fp"))
+      d.as("x").join(d.as("y"),
+          col("x.rfp") === col("y.rfp") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          (col("x.fp") === col("y.fp")).as("exact_dup"))
+    }),
+
     "q_minhash_signature" -> ((s, dir) => signatures(augDocs(s, dir))),
 
     "q_dedup_minhash" -> ((s, dir) => {
@@ -310,6 +328,13 @@ object TextOps {
         |  count(*) OVER (PARTITION BY text) AS n_copies,
         |  doc_id = min(doc_id) OVER (PARTITION BY text) AS is_canonical
         |FROM aug""".stripMargin),
+
+    "q_dedup_rolling" -> withAug(
+      s""", ${RelOps.fingerprintSql("aug")}
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  x.fnv64 = y.fnv64 AS exact_dup
+         |FROM fp x JOIN fp y
+         |  ON x.rolling_min8 = y.rolling_min8 AND x.doc_id < y.doc_id""".stripMargin),
 
     "q_minhash_signature" -> withAug(
       s", $shingleHashesSql\nSELECT doc_id,\n  " +
