@@ -66,6 +66,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("csv: RFC-4180 serialize→parse round-trips arbitrary fields (quotes, delimiters, newlines)") {
+    import graft.source.CsvStrictSource
+    val nasty = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.const("a,b"), Gen.const("he said \"hi\""), Gen.const("line1\nline2"),
+      Gen.const("crlf\r\nend"), Gen.const("  padded  "), Gen.const(""),
+      Gen.const("ünïcode ✓ 世界"))
+    val genCase = for {
+      rows <- Gen.choose(1, 6)
+      data <- Gen.listOfN(rows, Gen.listOfN(3, nasty))
+      quote <- Gen.oneOf('"', '\'')
+    } yield (data, quote)
+
+    forAll(genCase, n = 12) { case (data, quote) =>
+      val q = quote.toString
+      def cell(v: String) = q + v.replace(q, q + q) + q
+      val body = ("A,B,C" +: data.map(_.map(cell).mkString(","))).mkString("\n") + "\n"
+      val f = java.nio.file.Files.createTempFile("rt", ".csv")
+      java.nio.file.Files.write(f, body.getBytes("UTF-8"))
+      val r = CsvStrictSource.read(spark, f.toString, quote = quote)
+      assert(r.events.isEmpty, s"events=${r.events} for quote=$quote body=<$body>")
+      val got = r.df.orderBy("pos").collect()
+        .map(row => (0 until 3).map(i => Option(row.getString(i))).toList).toList
+      // source contract: EOL inside quotes normalized to \n, values trimmed,
+      // blank → null
+      val expected = data.map(_.map { v =>
+        val t = v.replace("\r\n", "\n").replace("\r", "\n").trim
+        if (t.isEmpty) None else Some(t)
+      })
+      assert(got == expected, s"quote=$quote body=<$body>")
+      java.nio.file.Files.deleteIfExists(f)
+    }
+  }
+
   test("order repair (strict): emits exactly the longest contiguous prefix, min-pos per key, sorted") {
     val genConv = for {
       n <- Gen.choose(1, 25)
