@@ -56,23 +56,45 @@ object Converters {
     *   - time-only strings ("03:04:05") are rejected: TryParse fills in
     *     "today", which is nondeterministic in a distributed engine.
     */
-  private val lenientDateTimeFormats: Seq[String] = Seq(
+  private val monthNameFormats: Seq[String] = Seq(
     "MMM d, yyyy h:mm:ss a", "MMM d, yyyy h:mm a", "MMM d, yyyy",
     "MMMM d, yyyy h:mm:ss a", "MMMM d, yyyy h:mm a", "MMMM d, yyyy",
-    "MMM d yyyy", "MMMM d yyyy",
-    "d MMM yyyy h:mm:ss a", "d MMM yyyy h:mm a", "d MMM yyyy", "d MMMM yyyy",
-    "M/d/yyyy h:mm:ss a", "M/d/yyyy h:mm a", "M/d/yyyy H:mm:ss", "M/d/yyyy",
-    "M-d-yyyy h:mm:ss a", "M-d-yyyy",
+    "MMM d yyyy", "MMMM d yyyy")
+  private val dayFirstFormats: Seq[String] = Seq(
+    "d MMM yyyy h:mm:ss a", "d MMM yyyy h:mm a", "d MMM yyyy", "d MMMM yyyy")
+  private val slashFormats: Seq[String] = Seq(
+    "M/d/yyyy h:mm:ss a", "M/d/yyyy h:mm a", "M/d/yyyy H:mm:ss", "M/d/yyyy")
+  private val dashFormats: Seq[String] = Seq(
+    "M-d-yyyy h:mm:ss a", "M-d-yyyy")
+  private val yearSlashFormats: Seq[String] = Seq(
     "yyyy/M/d H:mm:ss", "yyyy/M/d")
+  private val lenientDateTimeFormats: Seq[String] =
+    monthNameFormats ++ dayFirstFormats ++ slashFormats ++ dashFormats ++
+      yearSlashFormats
 
   val toDateTime: Column => Column = c => {
     val norm = regexp_replace(trim(c), " +", " ")
-    val attempts = try_to_timestamp(norm) +:
-      lenientDateTimeFormats.map(f => try_to_timestamp(norm, lit(f)))
+    def attempt(fs: Seq[String]) =
+      coalesce(fs.map(f => try_to_timestamp(norm, lit(f))): _*)
     val digitOnly = norm.rlike("^[0-9]+$")
     val timeOnly = norm.rlike("^[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?(\\.[0-9]+)?( ?[AaPp][Mm])?$")
+    // Shape dispatch: a failed try_to_timestamp attempt costs an internal
+    // exception, so running all 21 formats per row dominates the operator at
+    // scale. Each prefix shape can only ever match one format family (a
+    // letter-first string can never parse as ISO or M/d/yyyy, and vice
+    // versa), so dispatching on a cheap prefix regex tries ≤ 8 formats
+    // instead of 21 — identical results, the unclassified residue falls
+    // through to the original full chain.
+    val fullChain = coalesce(try_to_timestamp(norm) +:
+      lenientDateTimeFormats.map(f => try_to_timestamp(norm, lit(f))): _*)
     when(digitOnly || timeOnly, lit(null).cast(TimestampType))
-      .otherwise(coalesce(attempts: _*))
+      .when(norm.rlike("^[A-Za-z]"), attempt(monthNameFormats))
+      .when(norm.rlike("^[0-9]{1,2} [A-Za-z]"), attempt(dayFirstFormats))
+      .when(norm.rlike("^[0-9]{1,2}/[0-9]{1,2}/[0-9]{4}"), attempt(slashFormats))
+      .when(norm.rlike("^[0-9]{1,2}-[0-9]{1,2}-[0-9]{4}"), attempt(dashFormats))
+      .when(norm.rlike("^[0-9]{4}/"), attempt(yearSlashFormats))
+      .when(norm.rlike("^[0-9]{4}-"), try_to_timestamp(norm))
+      .otherwise(fullChain)
   }
 
   /** Conversion.ToDate (Conversion.cs:146-153): ToDateTime then midnight
