@@ -79,4 +79,6 @@ object fns {
     Bridge.column(Fnv64(Bridge.expression(c)))
   def rolling_min_hash(c: Column, k: Int = 8): Column =
     Bridge.column(RollingMinHash(Bridge.expression(c), k))
+  def array_dot(a: Column, b: Column): Column =
+    Bridge.column(ArrayDot(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -61,15 +61,18 @@ object VectorOps {
     }
   }
 
-  // ---- Spark-side vector helpers (pure Catalyst, codegen-friendly) ----
+  // ---- Spark-side vector helpers ----
+  // graft.functions.ArrayDot (custom codegen Expression) instead of
+  // aggregate(zip_with(...)): the higher-order lambdas are interpreted per
+  // element with boxing — at 64 dims × nbits planes × corpus rows they were
+  // the dominant operator cost. Fold order and promotion are identical, so
+  // results (and the DuckDB oracles) are bitwise unchanged.
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.fns.array_dot(a, b)
 
   private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(graft.functions.fns.array_dot(a, a))
 
   private def planeCol(nbits: Int, b: Int): Column =
     typedLit(planes(nbits)(b))
@@ -77,8 +80,8 @@ object VectorOps {
   /** Sign-LSH bucket id (`nbits` bits) of an embedding column. */
   private[queries] def bucket(emb: Column, nbits: Int = NBITS): Column =
     (0 until nbits).map { b =>
-      when(aggregate(zip_with(emb, planeCol(nbits, b), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x) > 0, lit(1 << b)).otherwise(lit(0))
+      when(graft.functions.fns.array_dot(emb, planeCol(nbits, b)) > 0,
+        lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
   // ---- matching DuckDB SQL fragments ----

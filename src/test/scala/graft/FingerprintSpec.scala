@@ -10,6 +10,35 @@ import graft.functions.{fns, Fnv64, RollingMinHash}
   * direct Scala implementation.
   */
 class FingerprintSpec extends AnyFunSuite {
+
+  test("array_dot: equals the zip_with/aggregate composition incl. edge cases") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.fns
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),   // 32.0
+      (Seq.empty[Float], Seq.empty[Float]),              // 0.0
+      (Seq(1.5f), Seq(2.5f)),
+      (Seq(0.1f, 0.2f), Seq(0.3f, 0.7f)))
+      .toDF("a", "b")
+    val viaExpr = df.select(fns.array_dot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val viaHof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)).collect().map(_.getDouble(0))
+    assert(viaExpr.toSeq == viaHof.toSeq) // bitwise: same fold order + promotion
+    assert(viaExpr(0) == 32.0 && viaExpr(1) == 0.0)
+    // int plane × float embedding promotes exactly like the HOF version
+    val mixed = Seq((Seq(1.5f, -2.0f), Seq(1, -1))).toDF("a", "w")
+    assert(mixed.select(fns.array_dot(col("a"), col("w"))).head.getDouble(0) == 3.5)
+    // mismatched lengths and null elements → null (zip_with-pad semantics)
+    val odd = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+    assert(odd.select(fns.array_dot(col("a"), col("b"))).head.isNullAt(0))
+    val withNull = Seq((Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](1.0f, 2.0f)))
+      .toDF("a", "b")
+    assert(withNull.select(fns.array_dot(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
