@@ -212,6 +212,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(a0.getAs[String]("text") == "first") // first arrival won
   }
 
+  test("unique flag flavor (streaming): duplicates emitted with pointer to first arrival; state evicted by watermark") {
+    implicit val enc = Encoders.product[TurnPos]
+    val ms = MemoryStream[TurnPos](enc, spark)
+    val flagged = StreamDedup.flagWithinWatermark(
+      ms.toDS().withWatermark("ts", "10 seconds"), gapMs = 30000L)
+    val name = s"flag_${System.nanoTime()}"
+    val q = flagged.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString).start()
+    ms.addData(Seq(turn("a", 0, 1, text = "first", pos = 5)))
+    q.processAllAvailable()
+    // same key in a LATER micro-batch, within the watermark → flagged, kept
+    ms.addData(Seq(turn("a", 0, 2, text = "dup", pos = 10), turn("b", 0, 3, pos = 7)))
+    q.processAllAvailable()
+    // advance the watermark far past a/0's last activity + gap → state evicted
+    ms.addData(Seq(turn("z", 0, 500, pos = 1)))
+    q.processAllAvailable()
+    ms.addData(Seq(turn("z", 1, 600, pos = 2)))
+    q.processAllAvailable()
+    // a/0 again AFTER eviction: a fresh first arrival, not a duplicate —
+    // the same bounded-state contract as dropDuplicatesWithinWatermark
+    ms.addData(Seq(turn("a", 0, 700, text = "reborn", pos = 99), turn("z", 2, 800, pos = 3)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .select("conv_id", "turn_idx", "pos", "is_duplicate", "dup_of_pos").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getBoolean(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(rows.contains(("a", 0, 5L, false, -1L)))   // first arrival wins
+    assert(rows.contains(("a", 0, 10L, true, 5L)))    // flagged, NOT dropped, points at 5
+    assert(rows.contains(("b", 0, 7L, false, -1L)))
+    assert(rows.contains(("a", 0, 99L, false, -1L)))  // re-registered after eviction
+    assert(rows.count(_._1 == "a") == 3)              // every arrival emitted
+  }
+
   test("tool pairing (streaming left-outer): unmatched call emits null row once watermark passes") {
     implicit val enc = Encoders.product[TurnPos]
     val ms = MemoryStream[TurnPos](enc, spark)
