@@ -47,9 +47,10 @@ case class Dataflow(
   def sourceCsv(spark: SparkSession, path: String, header: Boolean = true,
                 skip: Int = 0, delimiter: Char = ',',
                 allowComments: Boolean = false, comment: Char = '#',
-                ignoreBlankLines: Boolean = true): Dataflow = {
+                ignoreBlankLines: Boolean = true,
+                quote: Char = '"', escape: Char = '\u0000'): Dataflow = {
     val r = graft.source.CsvStrictSource.read(spark, path, header, skip,
-      delimiter, allowComments, comment, ignoreBlankLines)
+      delimiter, allowComments, comment, ignoreBlankLines, quote, escape)
     // deferred to run(): sinks may be attached after this builder call
     val evts = r.events.map(e => e.level ->
       (s"Source: [$path] Message: [${e.description}] StopProcessing: [${e.stop}] " +

@@ -80,6 +80,16 @@ class EventSinkSpec extends AnyFunSuite {
     assert(out.filter(graft.model.Events.stoppedCol).count() == 2)
   }
 
+  test("sourceCsv: quote/escape configuration reaches the parser") {
+    val f = java.nio.file.Files.createTempFile("dslq", ".csv")
+    java.nio.file.Files.write(f, "A,B\n'x,y','ok'\n".getBytes("UTF-8"))
+    val out = graft.dsl.Dataflow("csv-quote")
+      .sourceCsv(spark, f.toString, quote = '\'')
+      .run()
+    val row = out.select("A", "B").collect().head
+    assert(row.getString(0) == "x,y" && row.getString(1) == "ok")
+  }
+
   test("aggregate sink fans out sequentially; level filter works") {
     val a = new CollectingEventSink
     val b = new CollectingEventSink
