@@ -85,6 +85,9 @@ class PlanSpec extends AnyFunSuite {
       s"dedup shuffle key must be the content fingerprint:\n$p")
     assert(!p.contains("hashpartitioning(text"),
       s"raw document text must never be the shuffle key:\n$p")
+    // scan pruning: only doc_id + text leave the parquet reader — the
+    // unused lang/source columns must not be read at 100 TB
+    assert(!p.contains("lang"), s"pruning lost: scan reads unused columns:\n$p")
   }
 
   test("q_skew_salted_agg: two aggregation stages (salted partial, final)") {
