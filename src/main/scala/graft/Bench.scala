@@ -122,10 +122,14 @@ object Bench {
         emitted += b.count()
       }.start()
     val t0 = System.nanoTime()
-    q.processAllAvailable()
-    val sec = (System.nanoTime() - t0) / 1e9
-    q.stop()
-    spark.streams.removeListener(listener)
+    // finally: a round that throws mid-run must not leak its query or
+    // listener into the JVM's OTHER round's measurement
+    val sec =
+      try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
+      finally {
+        q.stop()
+        spark.streams.removeListener(listener)
+      }
     // rows silently dropped by the watermark (= arrival order violated the
     // staged event-time order) make every throughput number a lie — fail the
     // round WITH the diagnosis the round-2 driver bench lacked
@@ -156,7 +160,10 @@ object Bench {
         // serial per warm batch vs ~10 s of parallel work.
         try Some(streamOnce(spark, inputDir, 64, rows.toLong))
         catch {
-          case e: Throwable =>
+          // NonFatal only: an OOM/JVM error means a damaged JVM whose other
+          // round would be garbage — let it kill the child (the parent
+          // surfaces the output tail)
+          case scala.util.control.NonFatal(e) =>
             // one bad round must not discard the JVM's other sample; the
             // message reaches the parent via redirected stderr
             System.err.println(s"GRAFT_ROUND_FAIL cores=$cores round=$i: ${e.getMessage}")
@@ -234,10 +241,15 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a query that regresses to a crash must surface as an error marker,
-      // never get recorded as a (fast) timing
+      // never get recorded as a (fast) timing; keep only printable ASCII so
+      // the marker can never corrupt the JSON artifact (a tab/CR in an
+      // exception message, or a take()-split surrogate pair, would)
       val err = try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None
-      } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+      } catch { case e: Throwable =>
+        Some(e.toString.takeWhile(c => c != '\n' && c != '\r')
+          .filter(c => c >= ' ' && c < 127).take(200))
+      }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
 

@@ -202,14 +202,17 @@ object TextOps {
       // FNV hash over all 8-byte windows (one codegen pass per doc, no
       // explode — graft.functions.RollingMinHash). Two docs sharing any
       // 8-byte run of content collide on this value with high probability;
-      // `exact_dup` marks which candidates are whole-content equal.
-      // Candidate generation is an equi-join on the 8-byte fingerprint —
-      // at 100 TB, hot fingerprints (boilerplate runs) get the same
-      // DF-cap treatment as hot shingles (ShingleDfCap above).
+      // `exact_dup` marks which candidates are whole-content equal. Hot
+      // fingerprints (boilerplate runs shared by > ShingleDfCap docs) are
+      // dropped before the self-join — the same anti-join cap as hot
+      // shingles, killing the df² quadratic at 100 TB.
       val d = augDocs(s, dir).select(col("doc_id"),
         graft.functions.fns.rolling_min_hash(col("text"), 8).as("rfp"),
         graft.functions.fns.fnv64(col("text")).as("fp"))
-      d.as("x").join(d.as("y"),
+      val hot = d.groupBy("rfp").agg(count(lit(1)).as("df"))
+        .filter(col("df") > ShingleDfCap).select("rfp")
+      val capped = d.join(hot, Seq("rfp"), "left_anti")
+      capped.as("x").join(capped.as("y"),
           col("x.rfp") === col("y.rfp") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           (col("x.fp") === col("y.fp")).as("exact_dup"))
@@ -330,10 +333,15 @@ object TextOps {
         |FROM aug""".stripMargin),
 
     "q_dedup_rolling" -> withAug(
-      s""", ${RelOps.fingerprintSql("aug")}
+      s""", ${RelOps.fingerprintSql("aug")},
+         |capped AS (
+         |  SELECT * FROM fp WHERE rolling_min8 NOT IN (
+         |    SELECT rolling_min8 FROM fp GROUP BY rolling_min8
+         |    HAVING count(*) > $ShingleDfCap)
+         |)
          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  x.fnv64 = y.fnv64 AS exact_dup
-         |FROM fp x JOIN fp y
+         |FROM capped x JOIN capped y
          |  ON x.rolling_min8 = y.rolling_min8 AND x.doc_id < y.doc_id""".stripMargin),
 
     "q_minhash_signature" -> withAug(

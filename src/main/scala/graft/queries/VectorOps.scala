@@ -112,8 +112,14 @@ object VectorOps {
     * the width floors at the DuckDB-reproducible 8 bits.
     */
   def embedNearDup(e0: DataFrame, corpusSize: Long, minCos: Double = 0.99,
-                   targetPerBucket: Long = 1024L): DataFrame = {
-    val nbits = nbitsFor(corpusSize, targetPerBucket)
+                   targetPerBucket: Long = 1024L): DataFrame =
+    embedNearDupAt(e0, nbitsFor(corpusSize, targetPerBucket), minCos)
+
+  /** [[embedNearDup]] at an EXPLICIT width (the fixture queries pin the
+    * oracle-reproducible 8 bits — a live corpus count would silently change
+    * the Spark result away from the fixed-width DuckDB SQL past 262k rows).
+    */
+  def embedNearDupAt(e0: DataFrame, nbits: Int, minCos: Double = 0.99): DataFrame = {
     val e = e0.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"), bucket(col("embedding"), nbits).as("bkt"))
     e.as("x").join(e.as("y"),
@@ -130,8 +136,13 @@ object VectorOps {
     * re-rank within the bucket. Same width-floor note as [[embedNearDup]].
     */
   def annLsh(e0: DataFrame, isQuery: Column, corpusSize: Long, k: Int = 5,
-             targetPerBucket: Long = 1024L): DataFrame = {
-    val nbits = nbitsFor(corpusSize, targetPerBucket)
+             targetPerBucket: Long = 1024L): DataFrame =
+    annLshAt(e0, isQuery, nbitsFor(corpusSize, targetPerBucket), k)
+
+  /** [[annLsh]] at an EXPLICIT width — same fixture/oracle note as
+    * [[embedNearDupAt]].
+    */
+  def annLshAt(e0: DataFrame, isQuery: Column, nbits: Int, k: Int = 5): DataFrame = {
     val e = e0.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"), bucket(col("embedding"), nbits).as("bkt"))
     val q = broadcast(e.filter(isQuery)
@@ -170,6 +181,35 @@ object VectorOps {
       |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0
       |)""".stripMargin
 
+  /** IVF probe + exact re-rank against k collected centroid literals. */
+  private def ivfQuery(e: DataFrame,
+                       cents: Array[(Long, Seq[Float], Double)]): DataFrame = {
+    // ascending struct sort on (−round(csim,9), cid) ≡ csim DESC, cid ASC —
+    // the exact oracle ordering. NaN (zero-norm centroid) sorts GREATEST in
+    // both engines' DESC, so it maps to −∞ here to keep NaN-first.
+    val sortedCells = array_sort(array(cents.map { case (cid, ce, cn) =>
+      val csim = dot(col("embedding"), typedLit(ce)) / (col("nrm") * lit(cn))
+      struct(
+        when(isnan(csim), lit(Double.NegativeInfinity))
+          .otherwise(round(csim, 9) * -1).as("negsim"),
+        lit(cid).as("cid"))
+    }.toSeq: _*))
+    val asg = e.withColumn("cid", element_at(sortedCells, 1).getField("cid"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .withColumn("pcell", explode(slice(sortedCells, 1, IVF_NPROBE)))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("pcell").getField("cid").as("pcid"))
+    val pairs = asg.join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cos"))
+      .distinct() // a neighbor can appear via both probed cells
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos"), 9).desc, col("nid").asc)
+    pairs.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_ann_brute" -> ((s, dir) => {
@@ -194,18 +234,17 @@ object VectorOps {
     "q_ann_lsh" -> ((s, dir) => {
       // Scale path: candidates share a sign-LSH bucket (equi-join on bucket
       // id), then exact re-rank within the bucket. Linear candidate
-      // generation; recall traded for the O(n²) scan. Width = nbitsFor(n)
-      // (floors at the oracle's 8 bits for every test SF).
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      annLsh(e, col("vec_id") % 50 === 0, e.count())
+      // generation; recall traded for the O(n²) scan. The FIXTURE pins the
+      // oracle's 8-bit width; production uses annLsh(corpusSize).
+      annLshAt(s.read.parquet(s"$dir/embeddings.parquet"),
+        col("vec_id") % 50 === 0, NBITS)
     }),
 
-    "q_embed_neardup" -> ((s, dir) => {
-      // Embedding-cosine near-dup via corpus-sized LSH buckets + exact
-      // verify ≥ 0.99 (width floors at the oracle's 8 bits at test SFs).
-      val aug = augEmb(s, dir)
-      embedNearDup(aug, aug.count())
-    }),
+    "q_embed_neardup" -> ((s, dir) =>
+      // Embedding-cosine near-dup via LSH buckets + exact verify ≥ 0.99.
+      // Fixture pins the oracle's 8-bit width; production uses
+      // embedNearDup(corpusSize).
+      embedNearDupAt(augEmb(s, dir), NBITS)),
 
     "q_ann_ivf" -> ((s, dir) => {
       // IVF: a FIXED-k coarse quantizer (k = IVF_K, independent of corpus
@@ -226,28 +265,12 @@ object VectorOps {
       // shuffled 16× the corpus just to pick each vector's best cell.)
       val cents = centroids(e).collect().map(r =>
         (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
-      // ascending struct sort on (−round(csim,9), cid) ≡ csim DESC, cid ASC —
-      // the exact oracle ordering
-      val sortedCells = array_sort(array(cents.map { case (cid, ce, cn) =>
-        struct(
-          (round(dot(col("embedding"), typedLit(ce)) / (col("nrm") * lit(cn)), 9) * -1)
-            .as("negsim"),
-          lit(cid).as("cid"))
-      }: _*))
-      val asg = e.withColumn("cid", element_at(sortedCells, 1).getField("cid"))
-      val probes = e.filter(col("vec_id") % 50 === 0)
-        .withColumn("pcell", explode(slice(sortedCells, 1, IVF_NPROBE)))
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("pcell").getField("cid").as("pcid"))
-      val pairs = asg.join(broadcast(probes),
-          col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          (dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cos"))
-        .distinct() // a neighbor can appear via both probed cells
-      val wTop = Window.partitionBy(col("qid"))
-        .orderBy(round(col("cos"), 9).desc, col("nid").asc)
-      pairs.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= 5)
-        .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+      // empty corpus → empty result with the oracle's schema (an array() of
+      // zero structs would be ArrayType(NullType) and fail analysis)
+      if (cents.isEmpty)
+        e.select(col("vec_id").as("qid"), lit(1).as("rank"),
+          col("vec_id").as("nid"), lit(0.0).as("cos_sim")).limit(0)
+      else ivfQuery(e, cents)
     }),
 
     "q_multimodal_meta" -> ((s, dir) => {

@@ -74,16 +74,18 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
     else Files.readString(manifestPath(v)).split("\n")
       .find(_.startsWith("buckets\t")).map(_.split("\t")(1).toInt)
 
-  /** Effective bucket count: an existing table's JOURNALED width wins over
-    * the constructor argument (an Iceberg-table-property analog) — reopening
-    * with a different default can therefore never silently mis-bucket the
-    * manifest. Grows via [[rebucket]].
+  /** Effective bucket width AT a manifest version: the JOURNALED width wins
+    * over the constructor argument (an Iceberg-table-property analog).
+    * merge() re-reads it from the exact version it merges against, so a
+    * concurrent [[rebucket]] from another instance/process — or a rebucket
+    * that failed mid-write — can never leave this instance hashing keys
+    * with a width that disagrees with the manifest it reads.
     */
-  private var buckets: Int = readBucketCount(currentVersion).getOrElse(numBuckets)
+  private def widthAt(v: Long): Int = readBucketCount(v).getOrElse(numBuckets)
 
-  def bucketCount: Int = buckets
+  def bucketCount: Int = widthAt(currentVersion)
 
-  private def bucketCol = pmod(hash(keyCols.map(col): _*), lit(buckets))
+  private def bucketCol(width: Int) = pmod(hash(keyCols.map(col): _*), lit(width))
 
   def read(spark: SparkSession): DataFrame = {
     val dirs = readManifest(currentVersion).values.toSeq.distinct
@@ -110,6 +112,7 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
     val spark = batch.sparkSession
     val v = currentVersion
     val manifest = readManifest(v)
+    val width = widthAt(v) // the width THIS manifest was written with
 
     val keyed = batch
       .withColumn("__del",
@@ -119,11 +122,11 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
       .withColumn("__rn", row_number().over(
         Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)))
       .filter(col("__rn") === 1).drop("__rn")
-      .withColumn("__bucket", bucketCol)
+      .withColumn("__bucket", bucketCol(width))
 
     val touched = keyed.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) { journal(v, manifest, batchId); return }
+    if (touched.isEmpty) { journal(v, manifest, batchId, width); return }
 
     // current rows of ONLY the touched buckets (partition-scoped read)
     val touchedDirs = manifest.filter { case (b, _) => touched.contains(b) }
@@ -136,7 +139,7 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
           // read is already bucket-scoped; the partition column is not in
           // the files — recompute it for the union/write
           val cur = spark.read.parquet(touchedDirs: _*)
-            .withColumn("__bucket", bucketCol)
+            .withColumn("__bucket", bucketCol(width))
             .withColumn("__del", lit(false))
             .withColumn("__gen", lit(0))
           cur.unionByName(keyed.withColumn("__gen", lit(1)))
@@ -152,7 +155,7 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
     val next = v + 1
     val dataDir = s"data_v$next"
     merged
-      .repartition(math.min(touched.size, buckets), col("__bucket"))
+      .repartition(math.min(touched.size, width), col("__bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(root.resolve(dataDir).toString)
 
@@ -161,7 +164,7 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
     val written = writtenBuckets(dataDir)
     val newManifest = manifest.filterNot { case (b, _) => touched.contains(b) } ++
       (touched & written).map(b => b -> s"$dataDir/__bucket=$b")
-    journal(next, newManifest, batchId)
+    journal(next, newManifest, batchId, width)
     gc(newManifest)
   }
 
@@ -174,22 +177,23 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
     */
   def rebucket(spark: SparkSession, newBuckets: Int): Unit = synchronized {
     require(newBuckets > 0, "rebucket needs a positive bucket count")
-    if (newBuckets == buckets) return
     val v = currentVersion
+    if (newBuckets == widthAt(v)) return
     val all = read(spark)
-    buckets = newBuckets
     val next = v + 1
     val newManifest =
       if (readManifest(v).isEmpty) Map.empty[Int, String]
       else {
         val dataDir = s"data_v$next"
-        all.withColumn("__bucket", bucketCol)
+        all.withColumn("__bucket", bucketCol(newBuckets))
           .repartition(math.min(newBuckets, 512), col("__bucket"))
           .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
           .parquet(root.resolve(dataDir).toString)
         writtenBuckets(dataDir).map(b => b -> s"$dataDir/__bucket=$b").toMap
       }
-    writeVersion(next, newManifest)
+    // nothing mutates until this atomic flip: a failed write above leaves
+    // the old version (and old width) current
+    writeVersion(next, newManifest, newBuckets)
     gc(newManifest)
   }
 
@@ -200,8 +204,9 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
         f.getName.stripPrefix("__bucket=").toInt }
       .toSet
 
-  private def journal(version: Long, manifest: Map[Int, String], batchId: Long): Unit = {
-    writeVersion(version, manifest)
+  private def journal(version: Long, manifest: Map[Int, String], batchId: Long,
+                      width: Int): Unit = {
+    writeVersion(version, manifest, width)
     val ctmp = root.resolve("_commits.tmp")
     Files.writeString(ctmp,
       (committedBatches + batchId).toSeq.sorted.mkString("", "\n", "\n"))
@@ -210,9 +215,9 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
   }
 
   /** Manifest (with its journaled bucket width) + atomic `_current` flip. */
-  private def writeVersion(version: Long, manifest: Map[Int, String]): Unit = {
+  private def writeVersion(version: Long, manifest: Map[Int, String], width: Int): Unit = {
     Files.writeString(manifestPath(version),
-      (s"buckets\t$buckets" +:
+      (s"buckets\t$width" +:
         manifest.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
         .mkString("", "\n", "\n"))
     val tmp = root.resolve("_current.tmp")

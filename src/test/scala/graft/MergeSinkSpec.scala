@@ -48,6 +48,14 @@ class MergeSinkSpec extends AnyFunSuite {
     reopened.merge(Seq(turn("c1", 1, "again", 200)).toDF(), 2L)
     assert(tableOf(reopened).contains(("c1", 1, "again")))
     assert(tableOf(reopened).size == before.size)
+    // a rebucket through ANOTHER instance must be picked up by the ORIGINAL
+    // open sink's next merge (width is read per merged-against version, not
+    // cached at construction) — a stale width would mis-route keys silently
+    new MergeSink(dir, Seq("conv_id", "turn_idx"), "pos").rebucket(spark, 8)
+    sink.merge(Seq(turn("c2", 2, "cross", 300)).toDF(), 3L)
+    assert(sink.bucketCount == 8)
+    assert(tableOf(sink).contains(("c2", 2, "cross")))
+    assert(tableOf(sink).size == before.size)
   }
 
   test("merge: tombstones delete keys exactly-once; replays converge") {
