@@ -236,8 +236,10 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p) // a Stream holding a directory handle
+      try children.forEach(deleteRecursively) finally children.close()
+    }
     Files.deleteIfExists(p)
   }
 }
