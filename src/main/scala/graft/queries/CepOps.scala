@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.source.Transcript
-import graft.stream.{OrderRepair, ToolPair, TurnPos}
+import graft.stream.{OrderRepair, StreamDedup, ToolPair, TurnPos}
 
 /** North-rule CEP obligations as oracle-checkable batch queries (SURVEY.md
   * §2.5): event-time windows (tumbling/sliding/session), per-conversation
@@ -72,6 +72,14 @@ object CepOps {
         .filter(col("__rn") === 1).drop("__rn")
     }),
 
+    // The streaming flag-dedup fMGWS operator (stream/Dedup.scala) run in
+    // batch mode — same core function, NoTimeout — so the driver oracle pins
+    // its semantics: min-pos first arrival wins, duplicates EMITTED (not
+    // dropped) with a pointer to the original's position.
+    "q_dedup_flag" -> ((s, dir) =>
+      StreamDedup.flagBatch(dirtyTurns(s, dir).as[TurnPos])
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))),
+
     "q_tool_pair" -> ((s, dir) =>
       ToolPair.batch(Transcript.fromEvents(s, dir))
         .select(col("conv_id"), col("call_turn_idx"), col("tool"),
@@ -135,6 +143,14 @@ object CepOps {
 
     "q_dedup_keep_first" -> (W +
       s""", dirty AS (\n$dirtySql\n)\n$dedupSql""".stripMargin),
+
+    "q_dedup_flag" -> (W +
+      s""", dirty AS (\n$dirtySql\n)
+         |SELECT conv_id, turn_idx, role, text, tool, ts, pos,
+         |  pos <> fp AS is_duplicate,
+         |  CASE WHEN pos <> fp THEN fp END AS dup_of_pos
+         |FROM (SELECT *, min(pos) OVER (PARTITION BY conv_id, turn_idx) AS fp
+         |      FROM dirty)""".stripMargin),
 
     "q_tool_pair" -> (W +
       """, calls AS (

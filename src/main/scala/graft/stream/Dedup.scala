@@ -41,13 +41,17 @@ object StreamDedup {
   private implicit val stateEnc = Encoders.product[FirstSeen]
   private implicit val keyEnc = Encoders.STRING
 
-  private def flagFn(gapMs: Long)(
+  private def flagCore(streaming: Boolean, gapMs: Long)(
       key: String, rows: Iterator[TurnPos],
       state: GroupState[FirstSeen]): Iterator[FlaggedTurn] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var st = state.getOption.orNull
     val out = Vector.newBuilder[FlaggedTurn]
-    rows.foreach { t =>
+    // Iterator order within a micro-batch is arbitrary post-shuffle; sort by
+    // source position so the min-pos row wins deterministically, matching the
+    // reference Unique's sequential first-wins (Unique.cs:89-93) and the
+    // batch UniqueFlag min-pos winner.
+    rows.toSeq.sortBy(_.pos).foreach { t =>
       val ts = t.ts.getTime
       if (st == null) {
         st = FirstSeen(t.pos, ts)
@@ -59,20 +63,39 @@ object StreamDedup {
           t.ts, t.pos, is_duplicate = true, dup_of_pos = Some(st.pos))
       }
     }
-    state.update(st)
-    // future timeout even if this key's events are already behind the
-    // advanced watermark (Spark rejects timestamps at or before it)
-    state.setTimeoutTimestamp(
-      math.max(st.maxTs + gapMs, state.getCurrentWatermarkMs() + 1))
+    if (streaming) {
+      state.update(st)
+      // future timeout even if this key's events are already behind the
+      // advanced watermark (Spark rejects timestamps at or before it)
+      state.setTimeoutTimestamp(
+        math.max(st.maxTs + gapMs, state.getCurrentWatermarkMs() + 1))
+    } else {
+      // Batch: one invocation per key — end-of-data plays the final watermark.
+      state.remove()
+    }
     out.result().iterator
   }
+
+  /** Grouping-key separator: NUL cannot occur in conv_id (CSV/parquet text). */
+  private val sep: String = 0.toChar.toString
 
   /** Flag flavor over the transcript key `(conv_id, turn_idx)`. Caller must
     * have applied `withWatermark("ts", …)`; `gapMs` is how long a key's
     * first-seen state outlives its last activity.
     */
   def flagWithinWatermark(ds: Dataset[TurnPos], gapMs: Long): Dataset[FlaggedTurn] =
-    ds.groupByKey(t => t.conv_id + "\u0000" + t.turn_idx)
+    ds.groupByKey(t => t.conv_id + sep + t.turn_idx)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        flagFn(gapMs))
+        flagCore(streaming = true, gapMs))
+
+  /** Batch flavor of the flag dedup: the SAME core function with `NoTimeout`
+    * (cf. OrderRepair.batch) — one invocation per key, end-of-data as the
+    * final watermark. The oracle-checked batch output (q_dedup_flag) pins the
+    * streaming operator's semantics: min-pos first arrival wins, every row
+    * emitted, duplicates carry the original's position.
+    */
+  def flagBatch(ds: Dataset[TurnPos]): Dataset[FlaggedTurn] =
+    ds.groupByKey(t => t.conv_id + sep + t.turn_idx)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        flagCore(streaming = false, gapMs = 0L))
 }

@@ -246,6 +246,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count(_._1 == "a") == 3)              // every arrival emitted
   }
 
+  test("unique flag flavor (streaming): min-pos wins when duplicates share a micro-batch") {
+    implicit val enc = Encoders.product[TurnPos]
+    val ms = MemoryStream[TurnPos](enc, spark)
+    val flagged = StreamDedup.flagWithinWatermark(
+      ms.toDS().withWatermark("ts", "10 seconds"), gapMs = 30000L)
+    val name = s"flag_same_batch_${System.nanoTime()}"
+    val q = flagged.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString).start()
+    // three duplicates of one key in the SAME batch, positions out of order:
+    // post-shuffle iterator order is arbitrary, so only a pos-sorted fold
+    // keeps the min-pos row as the original (reference Unique first-wins)
+    ms.addData(Seq(
+      turn("a", 0, 2, text = "later", pos = 10),
+      turn("a", 0, 1, text = "first", pos = 5),
+      turn("a", 0, 3, text = "latest", pos = 20)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .select("pos", "is_duplicate", "dup_of_pos").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows == Set((5L, false, -1L), (10L, true, 5L), (20L, true, 5L)))
+  }
+
+  test("unique flag flavor: batch output equals streaming output for the same input") {
+    import spark.implicits._
+    implicit val enc = Encoders.product[TurnPos]
+    val data = Seq(
+      turn("a", 0, 1, pos = 10), turn("a", 0, 2, pos = 5), // same-batch dups
+      turn("a", 1, 3, pos = 7),
+      turn("b", 0, 4, pos = 9), turn("b", 0, 5, pos = 11))
+    val ms = MemoryStream[TurnPos](enc, spark)
+    val name = s"flag_eq_${System.nanoTime()}"
+    val q = StreamDedup.flagWithinWatermark(
+        ms.toDS().withWatermark("ts", "10 seconds"), gapMs = 30000L)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString).start()
+    ms.addData(data)
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("conv_id", "turn_idx", "pos", "is_duplicate", "dup_of_pos").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getBoolean(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(canon(spark.table(name)) == canon(StreamDedup.flagBatch(data.toDS()).toDF()))
+  }
+
   test("tool pairing (streaming left-outer): unmatched call emits null row once watermark passes") {
     implicit val enc = Encoders.product[TurnPos]
     val ms = MemoryStream[TurnPos](enc, spark)
