@@ -1,12 +1,32 @@
 package graft.sink
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.io.FileNotFoundException
+import java.nio.charset.StandardCharsets.UTF_8
 
 import scala.util.control.NonFatal
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** A per-batch side effect sharing [[MergeSink]]'s commit journal — the
+  * Spark-native analog of the reference `DbCommand`'s ARBITRARY per-record
+  * SQL surface (reference: src/Shipwright.Core/Dataflows/Transformations/
+  * DbCommand.cs:118-144 executes any INSERT/UPDATE/stored-proc; the sink
+  * itself realizes only the keyed upsert/tombstone contract).
+  *
+  * Contract: the sink runs the effect once per batchId it commits — a
+  * re-delivered (already journaled) micro-batch skips the effect, so under
+  * checkpointed `foreachBatch` the effect is exactly-once EXCEPT for the
+  * crash window between effect execution and journal write, where replay
+  * re-runs it. The effect must therefore be idempotent per batchId (same
+  * contract a DbCommand upsert needed against its database).
+  */
+trait BatchEffect extends Serializable {
+  def apply(batch: DataFrame, batchId: Long): Unit
+}
 
 /** Exactly-once keyed MERGE sink — the Spark-native replacement for the
   * reference's per-record `DbCommand` upsert path (reference:
@@ -25,61 +45,142 @@ import org.apache.spark.sql.functions._
   *     dirs, publish a new manifest that references the untouched buckets'
   *     existing dirs — a partition-scoped merge, not a table rewrite
   *   - commit = write `_manifest.{N}`, atomically flip `_current`; the
-  *     `_commits` journal records applied batch ids, so a re-delivered
-  *     micro-batch (same batchId after restart) is a no-op:
-  *     foreachBatch + checkpoint ⇒ exactly-once
+  *     commit journal (one `_commits.d/<batchId>` marker per batch,
+  *     periodically compacted into the `_commits` file) records applied
+  *     batch ids, so a re-delivered micro-batch (same batchId after
+  *     restart) is a no-op: foreachBatch + checkpoint ⇒ exactly-once
+  *
+  * All metadata and data IO goes through the Hadoop `FileSystem` /
+  * `FileContext` API resolved from `tableDir`'s scheme, so the same sink
+  * runs on `file:`, HDFS, or any store with atomic rename — and a real
+  * Iceberg catalog drops in behind the same merge(batch, batchId)
+  * interface where the jar exists.
+  *
+  * Concurrency contract: SINGLE WRITER per table (the Iceberg-without-a-
+  * catalog-lock reality). `synchronized` serializes one JVM's instances;
+  * across processes the manifest commit uses rename-without-overwrite as a
+  * best-effort optimistic check — the loser of a version race fails loudly
+  * instead of silently clobbering — but the gc of a just-loosed writer's
+  * data dir cannot be excluded without a catalog, so do not run two
+  * writers against one table.
   *
   * At 10^12-turn scale the bucket count rises with the key cardinality via
   * [[rebucket]] (read-all → re-hash → one commit), and the per-batch work
   * stays proportional to the batch's key spread, exactly like Iceberg's
-  * merge-on-read partition pruning. A real Iceberg catalog drops in behind
-  * the same merge(batch, batchId) interface.
+  * merge-on-read partition pruning.
   */
 class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
-                numBuckets: Int = 16) {
+                numBuckets: Int = 16, journalCompactAfter: Int = 1 << 16) {
   require(keyCols.nonEmpty, "MergeSink needs at least one key column")
   require(versionCol.trim.nonEmpty, "MergeSink needs a version column")
   require(numBuckets > 0, "MergeSink needs a positive bucket count")
+  require(journalCompactAfter > 0, "MergeSink needs a positive compaction threshold")
 
-  private val root = Paths.get(tableDir)
-  Files.createDirectories(root)
+  private val hconf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+  private val fs: FileSystem = new HPath(tableDir).getFileSystem(hconf)
+  private val root: HPath = fs.makeQualified(new HPath(tableDir))
+  fs.mkdirs(root)
+  private lazy val fc: FileContext = FileContext.getFileContext(root.toUri, hconf)
 
-  private def currentPtr: Path = root.resolve("_current")
-  private def commitsPtr: Path = root.resolve("_commits")
-  private def manifestPath(v: Long): Path = root.resolve(s"_manifest.$v")
+  private def currentPtr: HPath = new HPath(root, "_current")
+  private def commitsPtr: HPath = new HPath(root, "_commits")
+  private def commitsDir: HPath = new HPath(root, "_commits.d")
+  private def manifestPath(v: Long): HPath = new HPath(root, s"_manifest.$v")
+
+  private def readString(p: HPath): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), UTF_8) finally in.close()
+  }
+
+  private def writeString(p: HPath, s: String, overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(s.getBytes(UTF_8)) finally out.close()
+  }
+
+  /** Atomic pointer flip (REPLACE_EXISTING ≡ Options.Rename.OVERWRITE). */
+  private def renameOver(src: HPath, dst: HPath): Unit =
+    fc.rename(src, dst, Options.Rename.OVERWRITE)
 
   def currentVersion: Long =
-    if (Files.exists(currentPtr)) Files.readString(currentPtr).trim.toLong else -1L
+    if (fs.exists(currentPtr)) readString(currentPtr).trim.toLong else -1L
 
-  // Tolerate a truncated/garbled trailing line (crash mid-write before the
-  // journal became tmp+atomic-move): an unparsable id is simply not
-  // committed, so the batch re-merges idempotently instead of wedging.
-  private def committedBatches: Set[Long] =
-    if (Files.exists(commitsPtr))
-      Files.readString(commitsPtr).split("\n")
+  // Tolerate a truncated/garbled trailing line in the compacted file (crash
+  // mid-write before it became tmp+atomic-move): an unparsable id is simply
+  // not committed, so the batch re-merges idempotently instead of wedging.
+  private def compactedIds: Set[Long] =
+    if (fs.exists(commitsPtr))
+      readString(commitsPtr).split("\n")
         .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
     else Set.empty
 
+  private def markerIds: Set[Long] =
+    if (!fs.exists(commitsDir)) Set.empty
+    else fs.listStatus(commitsDir)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption).toSet
+
+  /** O(1) journal probe per batch: one marker existence check + one small
+    * compacted-file read — never a full-journal rewrite (the pre-compaction
+    * design rewrote every committed id each batch: O(N²) cumulative IO).
+    */
+  private def isCommitted(batchId: Long): Boolean =
+    fs.exists(new HPath(commitsDir, batchId.toString)) ||
+      compactedIds.contains(batchId)
+
+  /** Visible for tests: all journaled batch ids (compacted ∪ markers). */
+  def committedBatches: Set[Long] = compactedIds ++ markerIds
+
+  /** Append one marker file for `batchId`; compact markers into `_commits`
+    * once they exceed the threshold (checked every `threshold/16` commits so
+    * the steady-state cost per batch stays one file create).
+    */
+  private var commitsSinceCheck = 0
+  private def recordCommit(batchId: Long): Unit = {
+    fs.mkdirs(commitsDir)
+    fs.create(new HPath(commitsDir, batchId.toString), true).close()
+    commitsSinceCheck += 1
+    if (commitsSinceCheck >= math.max(1, journalCompactAfter / 16)) {
+      commitsSinceCheck = 0
+      maybeCompact()
+    }
+  }
+
+  private def maybeCompact(): Unit = {
+    val markers = markerIds
+    if (markers.size >= journalCompactAfter) {
+      // union first, delete markers after: a crash between the two leaves
+      // ids present in both places — harmless, committedBatches is a union
+      val all = (compactedIds ++ markers).toSeq.sorted
+      val tmp = new HPath(root, "_commits.tmp")
+      writeString(tmp, all.mkString("", "\n", "\n"), overwrite = true)
+      renameOver(tmp, commitsPtr)
+      markers.foreach(id =>
+        fs.delete(new HPath(commitsDir, id.toString), false))
+    }
+  }
+
   /** bucket → data dir (relative to root). */
   private def readManifest(v: Long): Map[Int, String] =
-    if (v < 0 || !Files.exists(manifestPath(v))) Map.empty
-    else Files.readString(manifestPath(v)).split("\n")
+    if (v < 0 || !fs.exists(manifestPath(v))) Map.empty
+    else readString(manifestPath(v)).split("\n")
       .filter(l => l.nonEmpty && !l.startsWith("buckets\t")).map { line =>
         val Array(b, dir) = line.split("\t")
         b.toInt -> dir
       }.toMap
 
   private def readBucketCount(v: Long): Option[Int] =
-    if (v < 0 || !Files.exists(manifestPath(v))) None
-    else Files.readString(manifestPath(v)).split("\n")
+    if (v < 0 || !fs.exists(manifestPath(v))) None
+    else readString(manifestPath(v)).split("\n")
       .find(_.startsWith("buckets\t")).map(_.split("\t")(1).toInt)
 
   /** Effective bucket width AT a manifest version: the JOURNALED width wins
     * over the constructor argument (an Iceberg-table-property analog).
     * merge() re-reads it from the exact version it merges against, so a
-    * concurrent [[rebucket]] from another instance/process — or a rebucket
-    * that failed mid-write — can never leave this instance hashing keys
-    * with a width that disagrees with the manifest it reads.
+    * rebucket through another (sequential) instance — or one that failed
+    * mid-write — can never leave this instance hashing keys with a width
+    * that disagrees with the manifest it reads.
     */
   private def widthAt(v: Long): Int = readBucketCount(v).getOrElse(numBuckets)
 
@@ -89,7 +190,7 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
 
   def read(spark: SparkSession): DataFrame = {
     val dirs = readManifest(currentVersion).values.toSeq.distinct
-      .map(d => root.resolve(d).toString)
+      .map(d => new HPath(root, d).toString)
     if (dirs.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(dirs: _*).drop("__bucket")
   }
@@ -105,10 +206,16 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
     * from the table; within a batch the newest row per key (by
     * `versionCol`) decides whether the key survives. Replays converge:
     * deleting an absent key is a no-op.
+    *
+    * `effects`: [[BatchEffect]]s run under the same journal guard — a
+    * re-delivered batchId skips them along with the merge (see the
+    * BatchEffect idempotence contract for the crash window).
     */
   def merge(batch: DataFrame, batchId: Long,
-            deleteCol: Option[String] = None): Unit = synchronized {
-    if (committedBatches.contains(batchId)) return
+            deleteCol: Option[String] = None,
+            effects: Seq[BatchEffect] = Nil): Unit = synchronized {
+    if (isCommitted(batchId)) return
+    effects.foreach(_.apply(batch, batchId))
     val spark = batch.sparkSession
     val v = currentVersion
     val manifest = readManifest(v)
@@ -126,11 +233,11 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
 
     val touched = keyed.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) { journal(v, manifest, batchId, width); return }
+    if (touched.isEmpty) { recordCommit(batchId); return }
 
     // current rows of ONLY the touched buckets (partition-scoped read)
     val touchedDirs = manifest.filter { case (b, _) => touched.contains(b) }
-      .values.toSeq.distinct.map(d => root.resolve(d).toString)
+      .values.toSeq.distinct.map(d => new HPath(root, d).toString)
     val merged = {
       val withCur =
         if (touchedDirs.isEmpty) keyed
@@ -157,14 +264,15 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
     merged
       .repartition(math.min(touched.size, width), col("__bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
-      .parquet(root.resolve(dataDir).toString)
+      .parquet(new HPath(root, dataDir).toString)
 
     // a tombstone batch can empty a touched bucket entirely — only buckets
     // that actually wrote rows enter the manifest; emptied ones drop out
     val written = writtenBuckets(dataDir)
     val newManifest = manifest.filterNot { case (b, _) => touched.contains(b) } ++
       (touched & written).map(b => b -> s"$dataDir/__bucket=$b")
-    journal(next, newManifest, batchId, width)
+    writeVersion(next, newManifest, width)
+    recordCommit(batchId)
     gc(newManifest)
   }
 
@@ -188,7 +296,7 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
         all.withColumn("__bucket", bucketCol(newBuckets))
           .repartition(math.min(newBuckets, 512), col("__bucket"))
           .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
-          .parquet(root.resolve(dataDir).toString)
+          .parquet(new HPath(root, dataDir).toString)
         writtenBuckets(dataDir).map(b => b -> s"$dataDir/__bucket=$b").toMap
       }
     // nothing mutates until this atomic flip: a failed write above leaves
@@ -197,49 +305,52 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
     gc(newManifest)
   }
 
-  private def writtenBuckets(dataDir: String): Set[Int] =
-    Option(root.resolve(dataDir).toFile.listFiles())
-      .getOrElse(Array.empty)
-      .collect { case f if f.getName.startsWith("__bucket=") =>
-        f.getName.stripPrefix("__bucket=").toInt }
+  private def writtenBuckets(dataDir: String): Set[Int] = {
+    val p = new HPath(root, dataDir)
+    try fs.listStatus(p)
+      .collect { case s if s.getPath.getName.startsWith("__bucket=") =>
+        s.getPath.getName.stripPrefix("__bucket=").toInt }
       .toSet
-
-  private def journal(version: Long, manifest: Map[Int, String], batchId: Long,
-                      width: Int): Unit = {
-    writeVersion(version, manifest, width)
-    val ctmp = root.resolve("_commits.tmp")
-    Files.writeString(ctmp,
-      (committedBatches + batchId).toSeq.sorted.mkString("", "\n", "\n"))
-    Files.move(ctmp, commitsPtr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: FileNotFoundException => Set.empty }
   }
 
-  /** Manifest (with its journaled bucket width) + atomic `_current` flip. */
+  /** Manifest (with its journaled bucket width) + atomic `_current` flip.
+    *
+    * The manifest lands via tmp + rename-WITHOUT-overwrite: a concurrent
+    * writer that already published this version makes the rename fail
+    * loudly (optimistic-concurrency check) instead of silently clobbering.
+    * An orphan `_manifest.{v}` ABOVE the committed pointer — the residue of
+    * a crash between rename and flip, unreachable by readers — is cleared
+    * first so the single writer can never wedge itself.
+    */
   private def writeVersion(version: Long, manifest: Map[Int, String], width: Int): Unit = {
-    Files.writeString(manifestPath(version),
+    val dst = manifestPath(version)
+    if (fs.exists(dst) && version > currentVersion) fs.delete(dst, false)
+    val mtmp = new HPath(root, "_manifest.tmp")
+    writeString(mtmp,
       (s"buckets\t$width" +:
         manifest.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
-        .mkString("", "\n", "\n"))
-    val tmp = root.resolve("_current.tmp")
-    Files.writeString(tmp, version.toString)
-    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+        .mkString("", "\n", "\n"),
+      overwrite = true)
+    try fc.rename(mtmp, dst, Options.Rename.NONE)
+    catch {
+      case NonFatal(e) =>
+        throw new IllegalStateException(
+          s"MergeSink at $root: commit of _manifest.$version collided — " +
+            "another writer holds this table (single-writer contract)", e)
+    }
+    val tmp = new HPath(root, "_current.tmp")
+    writeString(tmp, version.toString, overwrite = true)
+    renameOver(tmp, currentPtr)
   }
 
   /** Remove data dirs no manifest entry references (keep the live set). */
   private def gc(live: Map[Int, String]): Unit = {
     val liveDirs = live.values.map(_.split("/").head).toSet
-    Option(root.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (f.isDirectory && f.getName.startsWith("data_v") && !liveDirs.contains(f.getName))
-        try deleteRecursively(f.toPath) catch { case NonFatal(_) => }
+    fs.listStatus(root).foreach { s =>
+      val name = s.getPath.getName
+      if (s.isDirectory && name.startsWith("data_v") && !liveDirs.contains(name))
+        try fs.delete(s.getPath, true) catch { case NonFatal(_) => }
     }
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val children = Files.list(p) // a Stream holding a directory handle
-      try children.forEach(deleteRecursively) finally children.close()
-    }
-    Files.deleteIfExists(p)
   }
 }

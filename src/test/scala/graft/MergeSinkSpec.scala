@@ -7,7 +7,7 @@ import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sink.{MergeSink, ProgressListener}
+import graft.sink.{BatchEffect, MergeSink, ProgressListener}
 import graft.stream.TurnPos
 
 /** Exactly-once MERGE sink: keyed upsert, newest-wins, idempotent batch
@@ -130,6 +130,65 @@ class MergeSinkSpec extends AnyFunSuite {
     val rows = tableOf(sink)
     assert(rows.contains(("c0", 0, "v2")) && rows.size == 32)
     // progress lines parse as JSON (listener robustness piggyback)
+  }
+
+  test("journal compaction: markers fold into _commits; replayed batch stays a no-op") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("merge_compact").toString
+    // threshold 2 → compaction triggers while the table is tiny
+    val sink = new MergeSink(dir, Seq("conv_id", "turn_idx"), "pos",
+      numBuckets = 4, journalCompactAfter = 2)
+    val b0 = Seq(turn("a", 0, "v1", 1)).toDF()
+    sink.merge(b0, 0L)
+    sink.merge(Seq(turn("a", 1, "v1", 2)).toDF(), 1L)
+    sink.merge(Seq(turn("b", 0, "v1", 3)).toDF(), 2L)
+    // markers were compacted into the _commits file (dir empty or near-empty)
+    val compacted = Files.readString(java.nio.file.Paths.get(dir, "_commits"))
+    assert(compacted.linesIterator.toSet.intersect(Set("0", "1")).size == 2,
+      s"expected ids 0,1 compacted, got: $compacted")
+    assert(sink.committedBatches == Set(0L, 1L, 2L))
+    // a REPLAYED batch whose marker was deleted by compaction is still a no-op
+    val vBefore = sink.currentVersion
+    sink.merge(b0, 0L)
+    assert(sink.currentVersion == vBefore)
+    assert(tableOf(sink) == Set(("a", 0, "v1"), ("a", 1, "v1"), ("b", 0, "v1")))
+    // a reopened sink sees the same journal
+    val reopened = new MergeSink(dir, Seq("conv_id", "turn_idx"), "pos",
+      numBuckets = 4, journalCompactAfter = 2)
+    reopened.merge(b0, 0L)
+    assert(reopened.currentVersion == vBefore)
+    assert(reopened.committedBatches == Set(0L, 1L, 2L))
+  }
+
+  test("sink runs against an explicit file: FileSystem URI (Hadoop FS API path)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("merge_fsuri")
+    val sink = new MergeSink("file:" + dir.toString, Seq("conv_id", "turn_idx"), "pos")
+    sink.merge(Seq(turn("a", 0, "v1", 1), turn("b", 0, "v1", 2)).toDF(), 0L)
+    sink.merge(Seq(turn("a", 0, "v2", 10)).toDF(), 1L)
+    assert(tableOf(sink) == Set(("a", 0, "v2"), ("b", 0, "v1")))
+    // metadata really landed under the local path the URI names
+    assert(Files.exists(dir.resolve("_current")))
+    assert(Files.exists(dir.resolve("_manifest.1")))
+  }
+
+  test("BatchEffect: runs once per committed batch, skipped on re-delivery") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("merge_effect").toString
+    val sink = new MergeSink(dir, Seq("conv_id", "turn_idx"), "pos")
+    val runs = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    val audit = new BatchEffect {
+      def apply(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+        runs.merge(batchId, 1, (a, b) => a + b)
+    }
+    val b0 = Seq(turn("a", 0, "v1", 1)).toDF()
+    sink.merge(b0, 0L, effects = Seq(audit))
+    sink.merge(b0, 0L, effects = Seq(audit))               // replay → skipped
+    sink.merge(Seq.empty[TurnPos].toDF(), 1L,
+      effects = Seq(audit))                                // empty batch still journals
+    sink.merge(b0, 1L, effects = Seq(audit))               // replay of empty id → skipped
+    assert(runs.get(0L) == 1 && runs.get(1L) == 1)
+    assert(tableOf(sink) == Set(("a", 0, "v1")))
   }
 
   test("streaming foreachBatch + checkpoint: restart with replay converges (exactly-once)") {
