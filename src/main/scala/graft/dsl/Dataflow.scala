@@ -24,7 +24,12 @@ case class Dataflow(
     replacements: Map[String, Map[String, String]] = Map.empty,
     transformations: Seq[Transformation] = Nil,
     eventSinks: Seq[graft.sink.EventSink] = Nil,
-    sourceEvents: Seq[(String, String)] = Nil
+    sourceEvents: Seq[(String, String)] = Nil,
+    // the reference's FieldNameComparer (Dataflow.cs:38): field-name
+    // comparisons are case-insensitive unless a case-sensitive comparer is
+    // configured. Flows into the CSV duplicate-header check; Spark's own
+    // analyzer resolution stays spark.sql.caseSensitive (a session conf).
+    caseSensitiveFields: Boolean = false
 ) {
   require(name.nonEmpty, "Dataflow requires a name")
 
@@ -36,6 +41,7 @@ case class Dataflow(
   def transform(ts: Transformation*): Dataflow =
     copy(transformations = transformations ++ ts)
   def sink(es: graft.sink.EventSink): Dataflow = copy(eventSinks = eventSinks :+ es)
+  def caseSensitive(b: Boolean): Dataflow = copy(caseSensitiveFields = b)
 
   /** CSV source with the reference's source-event wiring
     * (ConsoleEventSink.cs:79-95 NotifySourceCompleted): a fatal read
@@ -50,7 +56,8 @@ case class Dataflow(
                 ignoreBlankLines: Boolean = true,
                 quote: Char = '"', escape: Char = '\u0000'): Dataflow = {
     val r = graft.source.CsvStrictSource.read(spark, path, header, skip,
-      delimiter, allowComments, comment, ignoreBlankLines, quote, escape)
+      delimiter, allowComments, comment, ignoreBlankLines, quote, escape,
+      caseSensitiveFields)
     // deferred to run(): sinks may be attached after this builder call
     val evts = r.events.map(e => e.level ->
       (s"Source: [$path] Message: [${e.description}] StopProcessing: [${e.stop}] " +

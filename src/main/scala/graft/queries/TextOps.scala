@@ -325,6 +325,12 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
 
+    // NOTE deliberate asymmetry: the oracle partitions by RAW TEXT while the
+    // Spark query partitions by its 128-bit (fnv64, xxhash64) fingerprint —
+    // the "exact" contract is probabilistic on the Spark side (collision
+    // odds ≈ 10^-19 at 10^10 docs). If this query's hash_match ever fails
+    // with no logic change, suspect a fingerprint collision in the fixture
+    // before suspecting the dedup logic.
     "q_dedup_exact" -> withAug(
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY text) AS canonical_id,

@@ -120,8 +120,12 @@ object VectorOps {
     * the Spark result away from the fixed-width DuckDB SQL past 262k rows).
     */
   def embedNearDupAt(e0: DataFrame, nbits: Int, minCos: Double = 0.99): DataFrame = {
+    // both self-join sides read the bucketed/normed corpus — persist it so
+    // the scan + nbits 64-dim hyperplane projections run ONCE, as the
+    // minhash/simhash paths do; MEMORY_AND_DISK spills rather than OOMs
     val e = e0.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"), bucket(col("embedding"), nbits).as("bkt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.as("x").join(e.as("y"),
         col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),

@@ -57,7 +57,8 @@ object CsvStrictSource {
            skip: Int = 0, delimiter: Char = ',',
            allowComments: Boolean = false, comment: Char = '#',
            ignoreBlankLines: Boolean = true,
-           quote: Char = '"', escape: Char = '\u0000'): Result = {
+           quote: Char = '"', escape: Char = '\u0000',
+           caseSensitiveFields: Boolean = false): Result = {
     // escape defaults to the quote char — RFC-4180 `""` doubling; pass a
     // distinct char (e.g. '\\') for CsvConfiguration.Escape-style escaping
     val esc = if (escape == '\u0000') quote else escape
@@ -92,9 +93,12 @@ object CsvStrictSource {
             }
             else firstFields.indices.map(i => s"Field_$i").toVector
           // duplicate headers are fatal, compared with the dataflow's
-          // case-insensitive FieldNameComparer (CsvSource.cs:120-125)
+          // FieldNameComparer — case-INSENSITIVE by default (Dataflow.cs:38,
+          // CsvSource.cs:120-125); a case-sensitive comparer (the
+          // reference's Record.cs:45-46 allows one) makes `A,a` legal
           if (header) {
-            val dups = names.groupBy(_.toUpperCase)
+            val dups = names
+              .groupBy(n => if (caseSensitiveFields) n else n.toUpperCase)
               .collect { case (_, g) if g.size > 1 => g.head }
             if (dups.nonEmpty)
               return Result(emptyDf(spark),

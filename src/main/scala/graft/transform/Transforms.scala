@@ -348,10 +348,22 @@ object Pipeline {
       // real keys (JSON objects, "{"-prefixed).
       val eligKey = when(g, key)
         .otherwise(concat(lit("__x"), pmod(col(posCol), lit(1024)).cast(StringType)))
-      val w = Window.partitionBy(eligKey).orderBy(col(posCol))
-      val firstPos = first(col(posCol)).over(w)
-      val dup = g && eligKey.isNotNull && col(posCol) =!= firstPos
-      df.withColumn("__first_pos", firstPos)
+      // Shuffle on a 128-bit fingerprint of the key (fnv64 + independent
+      // xxhash64, both computed map-side, both codegen'd), not the JSON
+      // string: on wide multi-field keys the exchange hashes and sorts 16
+      // bytes per row instead of the full serialized key — the q_dedup_exact
+      // lesson. Simultaneous 64+64-bit collision odds at 10^10 rows ≈ 10^-19
+      // (the standard content-hash contract); a collision could only merge
+      // two key groups, flagging a non-duplicate — no string tiebreak kept.
+      val w = Window
+        .partitionBy(graft.functions.fns.fnv64(eligKey), xxhash64(eligKey))
+        .orderBy(col(posCol))
+      // reference the materialized __first_pos column, NOT the window
+      // expression itself: inlining `first(pos).over(w)` into `dup` builds a
+      // SECOND Window node whose fresh partition aliases Catalyst cannot
+      // prove co-partitioned — doubling the exchange
+      val dup = g && eligKey.isNotNull && col(posCol) =!= col("__first_pos")
+      df.withColumn("__first_pos", first(col(posCol)).over(w))
         .withColumn(Events.col,
           Events.appendWhen(col(Events.col), dup,
             Events.event(stop = true, LogEvent.Error,

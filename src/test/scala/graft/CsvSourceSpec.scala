@@ -43,6 +43,24 @@ class CsvSourceSpec extends AnyFunSuite {
     assert(r.events.head.description.startsWith("Duplicate header name"))
   }
 
+  test("case-sensitive field mode: 'A,a' headers legal when sensitive, fatal otherwise") {
+    val f = java.nio.file.Files.createTempFile("case_hdr", ".csv")
+    java.nio.file.Files.writeString(f, "A,a\n1,2\n")
+    try {
+      // default comparer (OrdinalIgnoreCase, Dataflow.cs:38): duplicate
+      val insensitive = CsvStrictSource.read(spark, f.toString)
+      assert(insensitive.df.count() == 0)
+      assert(insensitive.events.size == 1 && insensitive.events.head.stop)
+      assert(insensitive.events.head.description.startsWith("Duplicate header name"))
+      // case-sensitive comparer (Record.cs:45-46): distinct fields
+      val sensitive = CsvStrictSource.read(spark, f.toString,
+        caseSensitiveFields = true)
+      assert(sensitive.events.isEmpty)
+      assert(sensitive.df.columns.toSeq == Seq("A", "a", "pos"))
+      assert(sensitive.df.count() == 1)
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("FieldCountChange: zero records + critical event; Skip=3 past bad row → 2 records") {
     val r = CsvStrictSource.read(spark, s"$dir/FieldCountChange.csv")
     assert(r.df.count() == 0)

@@ -90,6 +90,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lang"), s"pruning lost: scan reads unused columns:\n$p")
   }
 
+  test("q_unique_flag: one exchange, partitioned on the 128-bit key fingerprint") {
+    val p = plan("q_unique_flag")
+    // the fingerprint pair is computed map-side (Catalyst extracts window
+    // partition exprs into _wN aliases, so the Exchange lists aliases)
+    assert(p.contains("fnv64(") && p.contains("xxhash64("),
+      s"unique-flag shuffle key must be the key fingerprint:\n$p")
+    assert(!"hashpartitioning\\(CASE WHEN".r.findFirstIn(p).isDefined,
+      s"the JSON key string must never be the shuffle key:\n$p")
+    // one Window + one Exchange: inlining the window expr into the dup
+    // predicate used to double both
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"unique-flag must build exactly one Window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"unique-flag must shuffle exactly once:\n$p")
+  }
+
   test("q_skew_salted_agg: two aggregation stages (salted partial, final)") {
     val p = plan("q_skew_salted_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 4) // 2 logical aggs × partial/final
