@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
 import org.apache.spark.sql.types._
 
-import graft.stream.{OrderRepair, TurnPos}
+import graft.stream.{OrderRepair, ToolPair, TurnPos}
 import graft.transform._
 
 /** Driver-contract benchmark: one JSON line with per-query batch timings on
@@ -144,13 +144,76 @@ object Bench {
     (totalRows / sec, p95, sec)
   }
 
+  /** The SECOND north-rule stateful pipeline under the same harness: the
+    * tool-call/response stream-stream inner join (watermarked both sides,
+    * range-bounded state). Correctness guard: the emitted pair count must
+    * equal the batch all-pairs join on the same staged input — a short
+    * count means join state was evicted early or late rows were dropped,
+    * and every throughput number would be a lie.
+    */
+  private def joinOnce(spark: SparkSession, inputDir: String,
+                       filesPerTrigger: Int, totalRows: Long,
+                       expectedPairs: Long): (Double, Double, Double) = {
+    val src = spark.readStream.schema(turnSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inputDir)
+    val paired = ToolPair.streaming(src, maxDelay = "5 MINUTES",
+      watermark = "10 minutes", leftOuter = false)
+
+    val durations = ArrayBuffer.empty[Double]
+    val dropped = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0) {
+          durations += e.progress.durationMs.getOrDefault("triggerExecution", 0L).toDouble
+          dropped.addAndGet(e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+          if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+            // scalastyle:off println
+            println(s"GRAFT_BATCH rows=${e.progress.numInputRows} " +
+              s"durations=${e.progress.durationMs} " +
+              s"state=${e.progress.stateOperators.toSeq.map(s =>
+                s"keys=${s.numRowsTotal} upd=${s.numRowsUpdated} " +
+                s"rm=${s.numRowsRemoved} commitMs=${s.commitTimeMs} mem=${s.memoryUsedBytes}")}")
+            // scalastyle:on println
+        }
+    }
+    spark.streams.addListener(listener)
+    var emitted = 0L
+    val q = paired.writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_ckpt").toString)
+      .foreachBatch { (b: DataFrame, _: Long) => emitted += b.count() }
+      .start()
+    val t0 = System.nanoTime()
+    val sec =
+      try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
+      finally {
+        q.stop()
+        spark.streams.removeListener(listener)
+      }
+    if (emitted != expectedPairs)
+      throw new IllegalStateException(
+        s"tool-pair join emitted $emitted of $expectedPairs pairs " +
+          s"(numRowsDroppedByWatermark=${dropped.get()}, batches=${durations.size}) — " +
+          "join state evicted early or staged files consumed out of event-time order")
+    val p95 =
+      if (durations.isEmpty) 0.0
+      else durations.sorted.apply(math.min(durations.size - 1, (durations.size * 0.95).toInt))
+    // throughput is INPUT turns/sec (same unit as the repair pipeline, so the
+    // two pipelines' scaling numbers are comparable); pairs/sec would track
+    // the join selectivity of the fixture instead of the work done
+    (totalRows / sec, p95, sec)
+  }
+
   /** Child mode: two rounds in this (taskset-pinned) JVM, print the best
     * (round 1 warms JIT). The parent runs each level in TWO such JVMs,
     * interleaved across levels, so one noisy-neighbor burst on this shared
     * box cannot depress every sample of one level.
     */
   def childMain(args: Array[String]): Unit = {
-    val Array(cores, inputDir, rows) = args
+    val Array(cores, inputDir, rows, pipeline, expected) = args
     val spark = newSession(cores.toInt)
     try {
       val rounds = (1 to 2).flatMap { i =>
@@ -158,7 +221,10 @@ object Bench {
         // ~6.4M rows: same batch size as round 1 (p95 comparable), per-batch
         // fixed costs amortized (BASELINE.md finding 1) — measured ~0.5 s
         // serial per warm batch vs ~10 s of parallel work.
-        try Some(streamOnce(spark, inputDir, 64, rows.toLong))
+        try Some(pipeline match {
+          case "toolpair" => joinOnce(spark, inputDir, 64, rows.toLong, expected.toLong)
+          case _ => streamOnce(spark, inputDir, 64, rows.toLong)
+        })
         catch {
           // NonFatal only: an OOM/JVM error means a damaged JVM whose other
           // round would be garbage — let it kill the child (the parent
@@ -190,7 +256,9 @@ object Bench {
     }
   }
 
-  private def runPinned(cores: Int, inputDir: String, rows: Long): (Double, Double, Double) = {
+  private def runPinned(cores: Int, inputDir: String, rows: Long,
+                        pipeline: String = "repair",
+                        expected: Long = 0L): (Double, Double, Double) = {
     import scala.jdk.CollectionConverters._
     // stale checkpoints/shuffle dirs from the previous level occupy tmpfs RAM
     Seq("/dev/shm/spark-local", "/dev/shm").foreach { d =>
@@ -211,7 +279,8 @@ object Bench {
     val cmd = Seq("taskset", "-c", s"0-${cores - 1}",
       sys.props.getOrElse("java.home", "/usr") + "/bin/java",
       "-Xmx12g", "-Xmn8g", "-XX:+UseParallelGC") ++ jvmArgs ++
-      Seq("-cp", cp, "graft.Bench", "child", cores.toString, inputDir, rows.toString)
+      Seq("-cp", cp, "graft.Bench", "child", cores.toString, inputDir, rows.toString,
+        pipeline, expected.toString)
     val out = new StringBuilder
     // rolling tail of everything the child prints: without it a dead child
     // leaves zero diagnostic signal in the driver artifact (round-2 lesson)
@@ -275,33 +344,51 @@ object Bench {
     // NAMES follow the range-partition order, so restamping mtimes strictly
     // increasing in path order makes arrival order = event-time order.
     restampInPathOrder(inputDir)
-    val totalRows = spark.read.parquet(inputDir).count()
+    val staged = spark.read.parquet(inputDir)
+    val totalRows = staged.count()
+    // the stream-stream join's correctness bar: the batch all-pairs join on
+    // the SAME staged input — the streaming inner join must emit exactly
+    // this multiset for in-order, in-watermark data
+    val expectedPairs = ToolPair.batchPairs(staged).count()
     spark.stop()
 
-    // ---- identical streaming job at 2, 8 (=4×2) and 32 (=4×8) pinned
-    //      cores; each level sampled by TWO JVMs interleaved across levels
+    // ---- identical streaming jobs at 2, 8 (=4×2) and 32 (=4×8) pinned
+    //      cores, for BOTH north-rule stateful pipelines (fMGWS order
+    //      repair + stream-stream tool-pair join); each (pipeline, level)
+    //      sampled by several JVMs interleaved across levels AND pipelines
     //      (noise decorrelation — a busy-neighbor burst now hits at most
-    //      one of a level's two JVMs), per-level best wall wins ----
+    //      one of a cell's sampling windows), per-cell best wall wins ----
     val top = math.min(32, cpus)
     // the N→4N efficiency target is defined on the 2→8 pair: give those two
-    // levels a third sampling window each, plus a fourth for 8 cores — the
-    // 2-core best is stable run-to-run (±1%) while the 8-core best swings
-    // ±10% with neighbor noise, so it needs the most samples to estimate
-    // the machine's actual capability
-    val passes = Seq(Seq(2, 8, top), Seq(2, 8, top), Seq(2, 8), Seq(8))
-    val best = scala.collection.mutable.Map.empty[Int, (Double, Double, Double)]
-    for (pass <- passes; c <- pass) {
-      val r = runPinned(c, inputDir, totalRows)
-      best(c) = best.get(c) match {
+    // levels extra sampling windows — the 2-core best is stable run-to-run
+    // (±1%) while the 8-core best swings ±10% with neighbor noise, so it
+    // needs the most samples to estimate the machine's actual capability
+    val schedule: Seq[(String, Int)] = Seq(
+      "repair" -> 2, "toolpair" -> 2, "repair" -> 8, "toolpair" -> 8,
+      "repair" -> top, "toolpair" -> top,
+      "repair" -> 2, "toolpair" -> 2, "repair" -> 8, "toolpair" -> 8,
+      "repair" -> top, "toolpair" -> top,
+      "repair" -> 2, "repair" -> 8, "toolpair" -> 8,
+      "repair" -> 8)
+    val best = scala.collection.mutable.Map.empty[(String, Int), (Double, Double, Double)]
+    for ((p, c) <- schedule) {
+      val r = runPinned(c, inputDir, totalRows, p,
+        if (p == "toolpair") expectedPairs else 0L)
+      best((p, c)) = best.get((p, c)) match {
         case Some(prev) if prev._3 <= r._3 => prev
         case _ => r
       }
     }
-    val (thr2, p952, sec2) = best(2)
-    val (thr8, p958, sec8) = best(8)
-    val (thr32, p9532, sec32) = best(top)
+    val (thr2, p952, sec2) = best(("repair", 2))
+    val (thr8, p958, sec8) = best(("repair", 8))
+    val (thr32, p9532, sec32) = best(("repair", top))
     val eff2to8 = (thr8 / thr2) / 4.0
     val eff8to32 = (thr32 / thr8) / 4.0
+    val (jthr2, jp952, jsec2) = best(("toolpair", 2))
+    val (jthr8, jp958, jsec8) = best(("toolpair", 8))
+    val (jthr32, jp9532, jsec32) = best(("toolpair", top))
+    val jeff2to8 = (jthr8 / jthr2) / 4.0
+    val jeff8to32 = (jthr32 / jthr8) / 4.0
 
     // errored queries: -1 sentinel in "queries" (keeps every value numeric
     // for the driver's parser) + the message under "query_errors"
@@ -319,7 +406,14 @@ object Bench {
         f""""wall_sec_2":${sec2}%.2f,"wall_sec_8":${sec8}%.2f,"wall_sec_32":${sec32}%.2f,""" +
         f""""scaling_efficiency_2_to_8":${eff2to8}%.3f,"scaling_efficiency_8_to_32":${eff8to32}%.3f,""" +
         f""""scaling_efficiency":${eff2to8}%.3f,""" +
-        """"note":"N-to-4N pairs; each level = best over taskset-pinned JVMs x 2 rounds (3 windows at 2 cores, 4 at 8, 2 at 32 - sample count follows each level's observed variance), JVMs interleaved across levels to decorrelate shared-VM noise; 8-to-32 saturates the single box's shared memory bandwidth, which separate executor machines would not"}"""
-    println(s"""{"metric":"streaming turns/sec @ 32 cores","value":${f"$thr32%.1f"},"unit":"turns/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"query_errors":$qerrs,"streaming":$streaming,"sf":"$sfDir"}""")
+        """"note":"N-to-4N pairs; each level = best over taskset-pinned JVMs x 2 rounds (3 windows at 2 cores, 4 at 8, 2 at 32 - sample count follows each level's observed variance), JVMs interleaved across levels AND pipelines to decorrelate shared-VM noise; 8-to-32 saturates the single box's shared memory bandwidth, which separate executor machines would not"}"""
+    val streamingJoin =
+      f"""{"input_turns":$totalRows,"expected_pairs":$expectedPairs,""" +
+        f""""throughput_2":${jthr2}%.1f,"throughput_8":${jthr8}%.1f,"throughput_32":${jthr32}%.1f,""" +
+        f""""p95_batch_ms_2":${jp952}%.1f,"p95_batch_ms_8":${jp958}%.1f,"p95_batch_ms_32":${jp9532}%.1f,""" +
+        f""""wall_sec_2":${jsec2}%.2f,"wall_sec_8":${jsec8}%.2f,"wall_sec_32":${jsec32}%.2f,""" +
+        f""""scaling_efficiency_2_to_8":${jeff2to8}%.3f,"scaling_efficiency_8_to_32":${jeff8to32}%.3f,""" +
+        """"note":"stream-stream tool-call/response inner join (watermarked both sides, range-bounded state); throughput = INPUT turns/sec over the same staged stream as the repair pipeline; emitted-pairs count verified equal to the batch all-pairs join each round (2 windows at 2 and 32 cores, 3 at 8)"}"""
+    println(s"""{"metric":"streaming turns/sec @ 32 cores","value":${f"$thr32%.1f"},"unit":"turns/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"query_errors":$qerrs,"streaming":$streaming,"streaming_toolpair":$streamingJoin,"sf":"$sfDir"}""")
   }
 }

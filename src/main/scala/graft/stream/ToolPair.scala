@@ -51,6 +51,16 @@ object ToolPair {
       .withColumn("latency_ms", latencyMs)
   }
 
+  /** ALL matching (call, result) pairs — no earliest-per-call winner. This
+    * is the exact multiset the streaming inner join emits for in-watermark
+    * data, so it serves as the bench harness's correctness oracle for the
+    * stream-stream join (emitted-pairs count must match it exactly).
+    */
+  def batchPairs(turns: DataFrame, maxDelay: String = "5 MINUTES"): DataFrame =
+    calls(turns).join(results(turns), joinCond(maxDelay), "inner")
+      .drop("r_conv_id", "r_tool")
+      .withColumn("latency_ms", latencyMs)
+
   /** Streaming: both sides watermarked; inner or left-outer per
     * `leftOuter` (outer emission waits for the watermark, per Spark
     * stream-stream join semantics). Note streaming joins cannot apply the

@@ -351,4 +351,37 @@ class StreamingSpec extends AnyFunSuite {
     // and flags the unmatched calls as nulls
     assert(ToolPair.batch(data.toDF()).filter(col("result_turn_idx").isNull).count() == 2)
   }
+
+  test("batchPairs is the exact multiset the streaming inner join emits (multi-match call)") {
+    // the bench harness's correctness guard (Bench.joinOnce) asserts
+    // emitted-count == batchPairs-count; this pins the semantic it relies
+    // on — ALL in-window (call, result) pairs, not the earliest-per-call
+    // winner the `batch` flavor keeps
+    implicit val enc = Encoders.product[TurnPos]
+    val ms = MemoryStream[TurnPos](enc, spark)
+    val joined = ToolPair.streaming(ms.toDS().toDF(), maxDelay = "5 MINUTES",
+      watermark = "10 minutes", leftOuter = false)
+    val name = s"pair_multi_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString).start()
+    val data = Seq(
+      turn("a", 0, 10, role = "assistant", tool = "search"),
+      turn("a", 1, 20, role = "tool", tool = "search"),   // 1st match for call 0
+      turn("a", 2, 40, role = "tool", tool = "search"),   // 2nd match for call 0
+      turn("a", 3, 50, role = "assistant", tool = "search"),
+      turn("a", 4, 60, role = "tool", tool = "search"))   // matches calls 0 AND 3
+    // two batches so one pair crosses a micro-batch boundary
+    ms.addData(data.take(3)); q.processAllAvailable()
+    ms.addData(data.drop(3)); q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("conv_id", "call_turn_idx", "result_turn_idx", "latency_ms").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).sorted.toSeq
+    import spark.implicits._
+    val expected = canon(ToolPair.batchPairs(data.toDF()))
+    assert(expected.map(t => (t._2, t._3)) == Seq((0, 1), (0, 2), (0, 4), (3, 4)))
+    assert(canon(spark.table(name)) == expected)
+    // the earliest-winner batch flavor keeps strictly fewer rows
+    assert(ToolPair.batch(data.toDF()).count() == 2)
+  }
 }
