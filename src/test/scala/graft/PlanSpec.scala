@@ -110,4 +110,39 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_skew_salted_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 4) // 2 logical aggs × partial/final
   }
+
+  test("streaming tool-pair join: text pruned from BOTH scans, keyed on (conv_id, tool)") {
+    // The join reads the source twice (one scan per side); if column pruning
+    // ever regresses, each micro-batch decodes the ~256-byte text column
+    // twice for rows that only contribute (conv_id, tool, ts, idx, pos) —
+    // the single biggest avoidable memory cost at 10^12-turn scale.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("plan_join").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .limit(100)
+      .select(col("user_id").cast("string").as("conv_id"),
+        (col("event_id") % 10).cast("int").as("turn_idx"),
+        lit("assistant").as("role"), col("props").as("text"),
+        lit("search").as("tool"), col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("pos"))
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = graft.stream.ToolPair.streaming(src).writeStream.format("noop")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_plan").toString)
+      .start()
+    try {
+      // explain the FIRST data-carrying batch: processAllAvailable would end
+      // on a no-data watermark-cleanup batch whose scan is a LocalTableScan
+      while (q.recentProgress.isEmpty) Thread.sleep(100)
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { q.explain() }
+      val p = out.toString
+      assert(p.contains("StreamingSymmetricHashJoin"), s"not a stream-stream join:\n$p")
+      val scans = "FileScan parquet \\[[^\\]]*\\]".r.findAllIn(p).toList
+      assert(scans.size == 2, s"expected two join-side scans:\n$p")
+      scans.foreach(s => assert(!s.contains("text"),
+        s"column pruning lost: join-side scan reads text — $s"))
+    } finally q.stop()
+  }
 }
