@@ -2,15 +2,15 @@ package graft
 
 import java.nio.file.Files
 
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQueryListener
-import org.apache.spark.sql.streaming.StreamingQueryListener._
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
-import graft.stream.{OrderRepair, ToolPair, TurnPos}
+import graft.stream.{OrderRepair, ToolPair}
 import graft.transform._
 
 /** Driver-contract benchmark: one JSON line with per-query batch timings on
@@ -20,13 +20,23 @@ import graft.transform._
   *
   * Scaling methodology (single box, no real cluster — BASELINE.md): each
   * level runs in its own JVM pinned with `taskset` to that many hardware
-  * threads (GC threads, JIT and memory traffic included — a shared-JVM
-  * local[N] comparison lets the small level borrow the whole machine).
-  * Two rounds per JVM, best-of, to exclude cold-JIT. Two pairs are
-  * reported: 2→8 cores (the clean N vs 4N analog; each level well under
-  * the box's memory bandwidth) and 8→32 (saturates the single shared
-  * memory controller — a regime a real 4× cluster does not enter, since
-  * every added executor brings its own memory system).
+  * threads (GC threads, JIT and memory traffic all restricted — a
+  * shared-JVM local[N] comparison lets the small level borrow the whole
+  * machine). Two pairs are reported: repair 2→8 cores and the state-heavy
+  * tool-pair join 1→4 (the pairs where BOTH levels stay under the box's
+  * shared memory-bandwidth ceiling — a real 4× cluster brings 4× memory
+  * controllers and does not enter that regime).
+  *
+  * Wall-budget discipline (round-5): the round-4 schedule measured every
+  * level with multiple JVM windows × 2 rounds and overran the driver's
+  * time budget (BENCH_r04 rc=124 — an unverifiable bench is a failing
+  * bench). The stable N levels (low-core bests repeat ±1%, BASELINE.md
+  * round 2) now get ONE window × ONE round, JIT-warmed on a small staged
+  * subset first; only the noisy 4N levels keep multi-window best-of-2
+  * sampling. A wall budget (`SPARK_GRAFT_BENCH_BUDGET` seconds, default
+  * 1380) trims the optional re-sampling windows instead of overrunning,
+  * and per-phase wall times land in the JSON so a future timeout is
+  * diagnosable from the artifact.
   */
 object Bench {
 
@@ -76,16 +86,47 @@ object Bench {
   /** (throughput rows/sec, p95 batch ms, wall sec, peak state-store rows). */
   private type RunResult = (Double, Double, Double, Long)
 
+  /** Per-run progress stats computed SYNCHRONOUSLY from `q.recentProgress`
+    * after `processAllAvailable()` returns — the stream thread records each
+    * data batch's progress before reporting availability, so unlike a
+    * `StreamingQueryListener` (async listener bus) the tail batches can
+    * never be missing when we sample.
+    */
+  private final case class ProgressStats(
+      p95: Double, dropped: Long, maxStateRows: Long, batches: Int)
+
+  private def statsOf(q: StreamingQuery): ProgressStats = {
+    val ps = q.recentProgress.filter(_.numInputRows > 0)
+    if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+      ps.foreach { p =>
+        // scalastyle:off println
+        println(s"GRAFT_BATCH rows=${p.numInputRows} durations=${p.durationMs} " +
+          s"state=${p.stateOperators.toSeq.map(s =>
+            s"keys=${s.numRowsTotal} upd=${s.numRowsUpdated} " +
+            s"rm=${s.numRowsRemoved} commitMs=${s.commitTimeMs} mem=${s.memoryUsedBytes}")}")
+        // scalastyle:on println
+      }
+    val durs = ps.map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble).sorted
+    val p95 =
+      if (durs.isEmpty) 0.0
+      else durs(math.min(durs.length - 1, (durs.length * 0.95).toInt))
+    ProgressStats(p95,
+      ps.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum,
+      ps.foldLeft(0L)((m, p) => math.max(m, p.stateOperators.map(_.numRowsTotal).sum)),
+      ps.length)
+  }
+
   /** The streaming CEP pipeline under test: validation transforms
     * (stop-guarded, flag-don't-drop) → watermark → per-conversation order
-    * repair → counting sink.
+    * repair → counting sink. `check = false` (warm-up runs) skips the
+    * emitted-rows gate — the warm-up subset's count is not plumbed through.
     */
   private def streamOnce(spark: SparkSession, inputDir: String,
-                         filesPerTrigger: Int, totalRows: Long): RunResult = {
+                         filesPerTrigger: Int, totalRows: Long,
+                         check: Boolean = true): RunResult = {
     val src = spark.readStream.schema(turnSchema)
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(inputDir)
-    val capture = new ProgressCapture
     val transformed = Pipeline(src, Seq(
         Required(Seq("conv_id", "turn_idx")),
         DefaultValue(Map("tool" -> "none")),
@@ -98,7 +139,6 @@ object Bench {
     val repaired = OrderRepair.streamingPacked(OrderRepair.pack(transformed),
       strict = false, gapMs = 600000L)
 
-    spark.streams.addListener(capture)
     var emitted = 0L
     val q = repaired.writeStream
       .option("checkpointLocation",
@@ -107,24 +147,19 @@ object Bench {
         emitted += b.count()
       }.start()
     val t0 = System.nanoTime()
-    // finally: a round that throws mid-run must not leak its query or
-    // listener into the JVM's OTHER round's measurement
-    val sec =
-      try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
-      finally {
-        q.stop()
-        spark.streams.removeListener(capture)
-      }
+    val sec = try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
+              finally q.stop()
+    val stats = statsOf(q)
     // rows silently dropped by the watermark (= arrival order violated the
     // staged event-time order) make every throughput number a lie — fail the
     // round WITH the diagnosis the round-2 driver bench lacked
-    if (emitted != totalRows)
+    if (check && emitted != totalRows)
       throw new IllegalStateException(
         s"repair emitted $emitted of $totalRows " +
-          s"(numRowsDroppedByWatermark=${capture.dropped.get()}, " +
-          s"batches=${capture.durations.size}) — " +
+          s"(numRowsDroppedByWatermark=${stats.dropped}, " +
+          s"batches=${stats.batches}) — " +
           "staged files likely consumed out of event-time order")
-    (totalRows / sec, capture.p95, sec, capture.maxStateRows.get())
+    (totalRows / sec, stats.p95, sec, stats.maxStateRows)
   }
 
   /** The SECOND north-rule stateful pipeline under the same harness: the
@@ -136,15 +171,13 @@ object Bench {
     */
   private def joinOnce(spark: SparkSession, inputDir: String,
                        filesPerTrigger: Int, totalRows: Long,
-                       expectedPairs: Long): RunResult = {
+                       expectedPairs: Long, check: Boolean = true): RunResult = {
     val src = spark.readStream.schema(turnSchema)
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(inputDir)
     val paired = ToolPair.streaming(src, maxDelay = "5 MINUTES",
       watermark = "10 minutes", leftOuter = false)
 
-    val capture = new ProgressCapture
-    spark.streams.addListener(capture)
     var emitted = 0L
     val q = paired.writeStream
       .option("checkpointLocation",
@@ -152,80 +185,59 @@ object Bench {
       .foreachBatch { (b: DataFrame, _: Long) => emitted += b.count() }
       .start()
     val t0 = System.nanoTime()
-    val sec =
-      try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
-      finally {
-        q.stop()
-        spark.streams.removeListener(capture)
-      }
-    if (emitted != expectedPairs)
+    val sec = try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
+              finally q.stop()
+    val stats = statsOf(q)
+    if (check && emitted != expectedPairs)
       throw new IllegalStateException(
         s"tool-pair join emitted $emitted of $expectedPairs pairs " +
-          s"(numRowsDroppedByWatermark=${capture.dropped.get()}, " +
-          s"batches=${capture.durations.size}) — " +
+          s"(numRowsDroppedByWatermark=${stats.dropped}, " +
+          s"batches=${stats.batches}) — " +
           "join state evicted early or staged files consumed out of event-time order")
     // throughput is INPUT turns/sec (same unit as the repair pipeline, so the
     // two pipelines' scaling numbers are comparable); pairs/sec would track
     // the join selectivity of the fixture instead of the work done
-    (totalRows / sec, capture.p95, sec, capture.maxStateRows.get())
+    (totalRows / sec, stats.p95, sec, stats.maxStateRows)
   }
 
-  /** Collects per-batch trigger durations, watermark-dropped row counts, and
-    * the PEAK buffered state-store row count across batches — the number
-    * that proves join/repair state is watermark-bounded rather than growing
-    * with the stream.
-    */
-  private final class ProgressCapture extends StreamingQueryListener {
-    val durations = ArrayBuffer.empty[Double]
-    val dropped = new java.util.concurrent.atomic.AtomicLong(0L)
-    val maxStateRows = new java.util.concurrent.atomic.AtomicLong(0L)
-    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    override def onQueryProgress(e: QueryProgressEvent): Unit =
-      if (e.progress.numInputRows > 0) {
-        durations += e.progress.durationMs.getOrDefault("triggerExecution", 0L).toDouble
-        dropped.addAndGet(e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum)
-        maxStateRows.getAndAccumulate(
-          e.progress.stateOperators.map(_.numRowsTotal).sum, Math.max(_, _))
-        if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
-          // scalastyle:off println
-          println(s"GRAFT_BATCH rows=${e.progress.numInputRows} " +
-            s"durations=${e.progress.durationMs} " +
-            s"state=${e.progress.stateOperators.toSeq.map(s =>
-              s"keys=${s.numRowsTotal} upd=${s.numRowsUpdated} " +
-              s"rm=${s.numRowsRemoved} commitMs=${s.commitTimeMs} mem=${s.memoryUsedBytes}")}")
-          // scalastyle:on println
-      }
-    def p95: Double =
-      if (durations.isEmpty) 0.0
-      else durations.sorted.apply(math.min(durations.size - 1, (durations.size * 0.95).toInt))
-  }
+  private def runPipeline(spark: SparkSession, pipeline: String, inputDir: String,
+                          rows: Long, expected: Long, check: Boolean): RunResult =
+    pipeline match {
+      // 64 files/trigger over 384 staged files = 6 micro-batches of ~6.4M
+      // rows: per-batch fixed costs amortized (BASELINE.md finding 1,
+      // ~0.5 s serial per warm batch vs ~10 s parallel work) for BOTH
+      // pipelines — the join's state scales with batch size, so bigger
+      // batches (192 → 13.1M peak state rows) GC-crush the run (round-4
+      // A/B; env knob kept for re-running that experiment)
+      case "toolpair" => joinOnce(spark, inputDir,
+        sys.env.getOrElse("SPARK_GRAFT_FPT_TOOLPAIR", "64").toInt,
+        rows, expected, check)
+      case _ => streamOnce(spark, inputDir, 64, rows, check)
+    }
 
-  /** Child mode: two rounds in this (taskset-pinned) JVM, print the best
-    * (round 1 warms JIT). The parent runs each level in TWO such JVMs,
-    * interleaved across levels, so one noisy-neighbor burst on this shared
-    * box cannot depress every sample of one level.
+  /** Child mode: optional unmeasured JIT warm-up over a small staged subset
+    * (`warmupDir` ≠ "-"), then `rounds` measured rounds in this
+    * (taskset-pinned) JVM, print the best. Stable low-core levels run ONE
+    * warmed round (their bests repeat ±1% — BASELINE.md round 2); the noisy
+    * 4N levels run two rounds and the parent samples them with two JVM
+    * windows interleaved across levels, so one noisy-neighbor burst on this
+    * shared box cannot depress every sample of one level.
     */
   def childMain(args: Array[String]): Unit = {
-    val Array(cores, inputDir, rows, pipeline, expected) = args
+    val Array(cores, inputDir, rows, pipeline, expected, rounds, warmupDir) = args
     val spark = newSession(cores.toInt)
     try {
-      val rounds = (1 to 2).flatMap { i =>
-        // 64 files/trigger over 384 staged files = 6 micro-batches of
-        // ~6.4M rows: same batch size as round 1 (p95 comparable), per-batch
-        // fixed costs amortized (BASELINE.md finding 1) — measured ~0.5 s
-        // serial per warm batch vs ~10 s of parallel work.
-        // 64 files/trigger (6 batches) for BOTH pipelines: it amortizes the
-        // ~2 s/batch fixed cost, and the join's state scales with batch
-        // size, so bigger batches (192 → 13.1M peak state rows) GC-crush
-        // the run — measured A/B in BASELINE.md round 4 (env knob kept for
-        // re-running that experiment)
-        try Some(pipeline match {
-          case "toolpair" => joinOnce(spark, inputDir,
-            sys.env.getOrElse("SPARK_GRAFT_FPT_TOOLPAIR", "64").toInt,
-            rows.toLong, expected.toLong)
-          case _ => streamOnce(spark, inputDir, 64, rows.toLong)
-        })
+      if (warmupDir != "-")
+        // warm-up failures are diagnostic, never fatal: the measured rounds
+        // still run (slightly cold), which beats a dead window
+        try runPipeline(spark, pipeline, warmupDir, 0L, 0L, check = false)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"GRAFT_WARMUP_FAIL cores=$cores: ${e.getMessage}")
+        }
+      val results = (1 to rounds.toInt).flatMap { i =>
+        try Some(runPipeline(spark, pipeline, inputDir, rows.toLong,
+          expected.toLong, check = true))
         catch {
           // NonFatal only: an OOM/JVM error means a damaged JVM whose other
           // round would be garbage — let it kill the child (the parent
@@ -237,8 +249,8 @@ object Bench {
             None
         }
       }
-      require(rounds.nonEmpty, s"both rounds failed at $cores cores")
-      val best = rounds.minBy(_._3)
+      require(results.nonEmpty, s"all $rounds round(s) failed at $cores cores")
+      val best = results.minBy(_._3)
       // scalastyle:off println
       println(f"GRAFT_RESULT ${best._1}%.1f ${best._2}%.1f ${best._3}%.2f ${best._4}%d")
       // scalastyle:on println
@@ -257,9 +269,21 @@ object Bench {
     }
   }
 
+  /** Copy the first `n` part files (path order = event-time order) into a
+    * small warm-up subset dir, restamped so arrival order stays in order.
+    */
+  private def stageWarmupSubset(inputDir: String, n: Int): String = {
+    val dst = Files.createTempDirectory("bench_warmup")
+    Option(new java.io.File(inputDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName).take(n)
+      .foreach(f => Files.copy(f.toPath, dst.resolve(f.getName)))
+    restampInPathOrder(dst.toString)
+    dst.toString
+  }
+
   private def runPinned(cores: Int, inputDir: String, rows: Long,
-                        pipeline: String = "repair",
-                        expected: Long = 0L): RunResult = {
+                        pipeline: String, expected: Long,
+                        rounds: Int, warmupDir: String): RunResult = {
     import scala.jdk.CollectionConverters._
     // stale checkpoints/shuffle dirs from the previous level occupy tmpfs RAM
     Seq("/dev/shm/spark-local", "/dev/shm").foreach { d =>
@@ -281,7 +305,7 @@ object Bench {
       sys.props.getOrElse("java.home", "/usr") + "/bin/java",
       "-Xmx12g", "-Xmn8g", "-XX:+UseParallelGC") ++ jvmArgs ++
       Seq("-cp", cp, "graft.Bench", "child", cores.toString, inputDir, rows.toString,
-        pipeline, expected.toString)
+        pipeline, expected.toString, rounds.toString, warmupDir)
     val out = new StringBuilder
     // rolling tail of everything the child prints: without it a dead child
     // leaves zero diagnostic signal in the driver artifact (round-2 lesson)
@@ -299,8 +323,33 @@ object Bench {
     (parts(1).toDouble, parts(2).toDouble, parts(3).toDouble, parts(4).toLong)
   }
 
+  /** One schedule entry: a pinned child-JVM sampling window. `estSec` is the
+    * planning estimate used by the budget guard until the cell has a
+    * measured wall to plan with; `required` windows always run (every
+    * required cell feeds a JSON field), optional re-sampling windows are
+    * trimmed when the budget would overrun.
+    */
+  private final case class Win(pipeline: String, cores: Int, rounds: Int,
+                               warmup: Boolean, estSec: Double, required: Boolean)
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("child")) { childMain(args.tail); return }
+    val tStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
+    // wall budget for the WHOLE main (seconds): the round-4 schedule ran
+    // ~45 min and the driver killed it at rc=124 — an unverifiable bench is
+    // a failing bench, so the schedule trims itself instead of overrunning
+    // 1380 s (23 min) keeps the whole harness at ~24 min with sbt startup —
+    // under the 27.5-min total that round 3's driver accepted — while
+    // usually leaving room for the noisy join@4N level's second window
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1380").toDouble
+    val phases = ArrayBuffer.empty[(String, Double)]
+    def phase[A](name: String)(f: => A): A = {
+      val t = System.nanoTime()
+      val r = f
+      phases += name -> (System.nanoTime() - t) / 1e9
+      r
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "384").toInt
@@ -308,19 +357,21 @@ object Bench {
 
     // ---- per-query batch timings (driver contract) ----
     val spark = newSession(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a query that regresses to a crash must surface as an error marker,
-      // never get recorded as a (fast) timing; keep only printable ASCII so
-      // the marker can never corrupt the JSON artifact (a tab/CR in an
-      // exception message, or a take()-split surrogate pair, would)
-      val err = try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None
-      } catch { case e: Throwable =>
-        Some(e.toString.takeWhile(c => c != '\n' && c != '\r')
-          .filter(c => c >= ' ' && c < 127).take(200))
+    val results = phase("queries") {
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // a query that regresses to a crash must surface as an error marker,
+        // never get recorded as a (fast) timing; keep only printable ASCII so
+        // the marker can never corrupt the JSON artifact (a tab/CR in an
+        // exception message, or a take()-split surrogate pair, would)
+        val err = try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None
+        } catch { case e: Throwable =>
+          Some(e.toString.takeWhile(c => c != '\n' && c != '\r')
+            .filter(c => c >= ' ' && c < 127).take(200))
+        }
+        (name, (System.nanoTime() - t0) / 1e9, err)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
     }
 
     // ---- stage the streaming input once: transcript × replicate, with
@@ -328,37 +379,38 @@ object Bench {
     //      the month the raw events span) and files range-ordered by ts so
     //      arrival order ≈ event-time order — the realistic stream shape ----
     val inputDir = Files.createTempDirectory("bench_turns").toString
-    val base = graft.source.Transcript.fromEvents(spark, sfDir)
-    val reps = spark.range(replicate).select(col("id").as("rep"))
-    val amplified = base.crossJoin(reps).select(
-      concat(col("conv_id"), lit("_"), col("rep")).as("conv_id"),
-      col("turn_idx"), col("role"), col("text"), col("tool"),
-      expr("timestampadd(SECOND, pmod(hash(conv_id, rep), 86400) + turn_idx * 5, " +
-        "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
-      (col("pos") * replicate + col("rep")).as("pos"))
-    amplified.repartitionByRange(nFiles, col("ts"), col("pos"))
-      .write.mode("overwrite").parquet(inputDir)
-    // FileStreamSource consumes files in MODIFICATION-time order, and the 384
-    // parallel part writers finish out of range order (round-2 driver bench:
-    // 146 path-order inversions, ~3 h of event time arriving behind the
-    // 10-minute watermark → silent drops → emitted != totalRows). Part file
-    // NAMES follow the range-partition order, so restamping mtimes strictly
-    // increasing in path order makes arrival order = event-time order.
-    restampInPathOrder(inputDir)
-    val staged = spark.read.parquet(inputDir)
-    val totalRows = staged.count()
-    // the stream-stream join's correctness bar: the batch all-pairs join on
-    // the SAME staged input — the streaming inner join must emit exactly
-    // this multiset for in-order, in-watermark data
-    val expectedPairs = ToolPair.batchPairs(staged).count()
+    val (totalRows, expectedPairs, warmupDir) = phase("staging") {
+      val base = graft.source.Transcript.fromEvents(spark, sfDir)
+      val reps = spark.range(replicate).select(col("id").as("rep"))
+      val amplified = base.crossJoin(reps).select(
+        concat(col("conv_id"), lit("_"), col("rep")).as("conv_id"),
+        col("turn_idx"), col("role"), col("text"), col("tool"),
+        expr("timestampadd(SECOND, pmod(hash(conv_id, rep), 86400) + turn_idx * 5, " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+        (col("pos") * replicate + col("rep")).as("pos"))
+      amplified.repartitionByRange(nFiles, col("ts"), col("pos"))
+        .write.mode("overwrite").parquet(inputDir)
+      // FileStreamSource consumes files in MODIFICATION-time order, and the 384
+      // parallel part writers finish out of range order (round-2 driver bench:
+      // 146 path-order inversions, ~3 h of event time arriving behind the
+      // 10-minute watermark → silent drops → emitted != totalRows). Part file
+      // NAMES follow the range-partition order, so restamping mtimes strictly
+      // increasing in path order makes arrival order = event-time order.
+      restampInPathOrder(inputDir)
+      val staged = spark.read.parquet(inputDir)
+      val rows = staged.count()
+      // the stream-stream join's correctness bar: the batch all-pairs join on
+      // the SAME staged input — the streaming inner join must emit exactly
+      // this multiset for in-order, in-watermark data
+      val pairs = ToolPair.batchPairs(staged).count()
+      // ~2% of the stream, enough to JIT-compile both pipelines' hot loops
+      (rows, pairs, stageWarmupSubset(inputDir, 8))
+    }
     spark.stop()
 
-    // ---- identical streaming jobs at 2, 8 (=4×2) and 32 (=4×8) pinned
-    //      cores, for BOTH north-rule stateful pipelines (fMGWS order
-    //      repair + stream-stream tool-pair join); each (pipeline, level)
-    //      sampled by several JVMs interleaved across levels AND pipelines
-    //      (noise decorrelation — a busy-neighbor burst now hits at most
-    //      one of a cell's sampling windows), per-cell best wall wins ----
+    // ---- identical streaming jobs at taskset-pinned core counts for BOTH
+    //      north-rule stateful pipelines (fMGWS order repair + stream-stream
+    //      tool-pair join) ----
     val top = math.min(32, cpus)
     // Each pipeline's N→4N pair is chosen so BOTH levels stay under the
     // single box's memory-bandwidth ceiling (a real 4× cluster adds 4×
@@ -367,14 +419,25 @@ object Bench {
     // scans, two exchanges, four state stores, and the emitted pairs —
     // already inflates per-core work by 40% at 8 pinned cores (CPU-time
     // audit in BASELINE.md round 4), so its bandwidth-matched pair is 1→4.
-    // The 4N level of each pair gets the most sampling windows (its best
-    // swings ±10% with neighbor noise; the N level is stable ±1%), and the
-    // top level is kept for the absolute-throughput number.
-    val schedule: Seq[(String, Int)] = Seq(
-      "toolpair" -> 1, "repair" -> 2, "repair" -> 8, "toolpair" -> 4,
-      "repair" -> top, "toolpair" -> top,
-      "toolpair" -> 1, "repair" -> 2, "repair" -> 8, "toolpair" -> 4,
-      "repair" -> 8, "repair" -> top)
+    // Window plan (the round-5 budget fix): stable N levels (toolpair@1,
+    // repair@2) get ONE window × ONE warmed round; the noisy 4N levels
+    // (toolpair@4, repair@8 — bests swing ±10% with neighbor noise) get a
+    // required window plus an optional budget-gated re-sample; repair@top
+    // keeps one window for the absolute-throughput headline; the
+    // informational toolpair@top window is env-opt-in
+    // (SPARK_GRAFT_BENCH_JOIN_TOP=1).
+    val joinTop = sys.env.get("SPARK_GRAFT_BENCH_JOIN_TOP").contains("1")
+    val schedule: Seq[Win] = Seq(
+      Win("toolpair", 1, rounds = 1, warmup = true, estSec = 430, required = true),
+      Win("repair", 8, rounds = 2, warmup = false, estSec = 85, required = true),
+      Win("toolpair", 4, rounds = 2, warmup = false, estSec = 280, required = true),
+      Win("repair", 2, rounds = 1, warmup = true, estSec = 135, required = true),
+      Win("repair", top, rounds = 2, warmup = false, estSec = 60, required = true)) ++
+      (if (joinTop)
+        Seq(Win("toolpair", top, rounds = 2, warmup = false, estSec = 180, required = true))
+      else Nil) ++ Seq(
+      Win("toolpair", 4, rounds = 2, warmup = false, estSec = 280, required = false),
+      Win("repair", 8, rounds = 2, warmup = false, estSec = 85, required = false))
     // Children are pinned to cores 0..N-1, but THIS parent JVM (sbt + the
     // stdout-reader) is not — and its background threads were measured
     // stealing up to ~20% of core 0, which depresses the low-core baselines
@@ -388,13 +451,30 @@ object Bench {
         .redirectOutput(ProcessBuilder.Redirect.DISCARD)
         .redirectError(ProcessBuilder.Redirect.DISCARD).start().waitFor()
     }
-    val best = scala.collection.mutable.Map.empty[(String, Int), RunResult]
-    for ((p, c) <- schedule) {
-      val r = runPinned(c, inputDir, totalRows, p,
-        if (p == "toolpair") expectedPairs else 0L)
-      best((p, c)) = best.get((p, c)) match {
-        case Some(prev) if prev._3 <= r._3 => prev
-        case _ => r
+    val best = mutable.Map.empty[(String, Int), RunResult]
+    val lastWall = mutable.Map.empty[(String, Int), Double]
+    val winIdx = mutable.Map.empty[(String, Int), Int]
+    val skipped = ArrayBuffer.empty[String]
+    for (w <- schedule) {
+      val cell = (w.pipeline, w.cores)
+      val i = winIdx.getOrElse(cell, 0) + 1
+      winIdx(cell) = i
+      val winName = s"${w.pipeline}@${w.cores}#$i"
+      // plan with the cell's measured wall once it has one (machine-honest),
+      // the static estimate before that
+      val est = lastWall.getOrElse(cell, w.estSec)
+      if (!w.required && elapsedSec + est > budgetSec) skipped += winName
+      else {
+        val r = phase(winName) {
+          runPinned(w.cores, inputDir, totalRows, w.pipeline,
+            if (w.pipeline == "toolpair") expectedPairs else 0L,
+            w.rounds, if (w.warmup) warmupDir else "-")
+        }
+        lastWall(cell) = phases.last._2
+        best(cell) = best.get(cell) match {
+          case Some(prev) if prev._3 <= r._3 => prev
+          case _ => r
+        }
       }
     }
     val (thr2, p952, sec2, st2) = best(("repair", 2))
@@ -404,9 +484,11 @@ object Bench {
     val eff8to32 = (thr32 / thr8) / 4.0
     val (jthr1, jp951, jsec1, jst1) = best(("toolpair", 1))
     val (jthr4, jp954, jsec4, jst4) = best(("toolpair", 4))
-    val (jthr32, jp9532, jsec32, jst32) = best(("toolpair", top))
     val jeff1to4 = (jthr4 / jthr1) / 4.0
-    val jeff4to32 = (jthr32 / jthr4) / 8.0
+    // -1 sentinels when the env-opt-in top-level join window was not run
+    val (jthr32, jp9532, jsec32, jst32) =
+      best.getOrElse(("toolpair", top), (-1.0, -1.0, -1.0, -1L))
+    val jeff4to32 = if (jthr32 > 0) (jthr32 / jthr4) / 8.0 else -1.0
 
     // errored queries: -1 sentinel in "queries" (keeps every value numeric
     // for the driver's parser) + the message under "query_errors"
@@ -417,6 +499,9 @@ object Bench {
       "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
+    val phasesJson = phases.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      .mkString("{", ",", "}")
+    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val streaming =
       f"""{"input_turns":$totalRows,""" +
         f""""throughput_2":${thr2}%.1f,"throughput_8":${thr8}%.1f,"throughput_32":${thr32}%.1f,""" +
@@ -425,7 +510,7 @@ object Bench {
         s""""peak_state_rows_2":$st2,"peak_state_rows_8":$st8,"peak_state_rows_32":$st32,""" +
         f""""scaling_efficiency_2_to_8":${eff2to8}%.3f,"scaling_efficiency_8_to_32":${eff8to32}%.3f,""" +
         f""""scaling_efficiency":${eff2to8}%.3f,""" +
-        """"note":"N-to-4N pairs; each level = best over taskset-pinned JVMs x 2 rounds (2 windows at 2 cores, 3 at 8, 2 at 32), JVMs interleaved across levels AND pipelines to decorrelate shared-VM noise, parent JVM re-pinned to the top cores so its background threads cannot depress low-core baselines; 8-to-32 saturates the single box's shared memory bandwidth, which separate executor machines would not"}"""
+        """"note":"N-to-4N pair is 2-to-8 cores, taskset-pinned child JVMs; the stable 2-core level = one JIT-warmed round (bests repeat within 1 pct - BASELINE.md round 2), the noisy 8-core level = best over up to 2 windows x 2 rounds, windows interleaved across levels AND pipelines to decorrelate shared-VM noise, parent JVM re-pinned to the top cores so its background threads cannot depress low-core baselines; 8-to-32 saturates the single box's shared memory bandwidth, which separate executor machines would not"}"""
     val streamingJoin =
       f"""{"input_turns":$totalRows,"expected_pairs":$expectedPairs,""" +
         f""""throughput_1":${jthr1}%.1f,"throughput_4":${jthr4}%.1f,"throughput_32":${jthr32}%.1f,""" +
@@ -434,7 +519,7 @@ object Bench {
         s""""peak_state_rows_1":$jst1,"peak_state_rows_4":$jst4,"peak_state_rows_32":$jst32,""" +
         f""""scaling_efficiency_1_to_4":${jeff1to4}%.3f,"scaling_efficiency_4_to_32":${jeff4to32}%.3f,""" +
         f""""scaling_efficiency":${jeff1to4}%.3f,""" +
-        """"note":"stream-stream tool-call/response inner join (watermarked both sides, range-bounded state); throughput = INPUT turns/sec over the same staged stream as the repair pipeline; emitted-pairs count verified equal to the batch all-pairs join every round; N-to-4N pair is 1-to-4 cores - the pair where both levels stay under the shared single-box memory-bandwidth ceiling this state-heavy join hits at 8 pinned cores (+40 pct per-core CPU inflation, see BASELINE.md round 4) - with 2-to-8 measured off-harness for transparency and 4-to-32 reported raw"}"""
-    println(s"""{"metric":"streaming turns/sec @ 32 cores","value":${f"$thr32%.1f"},"unit":"turns/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"query_errors":$qerrs,"streaming":$streaming,"streaming_toolpair":$streamingJoin,"sf":"$sfDir"}""")
+        """"note":"stream-stream tool-call/response inner join (watermarked both sides, range-bounded state); throughput = INPUT turns/sec over the same staged stream as the repair pipeline; emitted-pairs count verified equal to the batch all-pairs join every round; N-to-4N pair is 1-to-4 cores - the pair where both levels stay under the shared single-box memory-bandwidth ceiling this state-heavy join hits at 8 pinned cores (+40 pct per-core CPU inflation, see BASELINE.md round 4); the informational 32-core window is env-opt-in (SPARK_GRAFT_BENCH_JOIN_TOP=1), -1 = not run"}"""
+    println(s"""{"metric":"streaming turns/sec @ 32 cores","value":${f"$thr32%.1f"},"unit":"turns/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"query_errors":$qerrs,"streaming":$streaming,"streaming_toolpair":$streamingJoin,"budget_sec":${f"$budgetSec%.0f"},"wall_sec":${f"$elapsedSec%.1f"},"phases":$phasesJson,"phases_skipped":$skippedJson,"sf":"$sfDir"}""")
   }
 }

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media (image/audio/video) rides as an opaque
   * `binary` column with typed metadata extracted by a per-partition decoder.
   * The Spark-side shape is real — binary column, mapPartitions batching,
-  * deterministic output schema, partition-preserving — while the actual
-  * codec is stubbed ([[FakeDecoder]]) because no image/audio libraries exist
-  * in this container. Swap [[MediaDecoder]] for a JNI/JavaCV-backed
-  * implementation on a real cluster; nothing else changes.
+  * deterministic output schema, partition-preserving. Two decoders ship:
+  * [[ImageIODecoder]] does REAL image decode via the JDK's `javax.imageio`
+  * codecs (PNG/JPEG/BMP/GIF — no extra jars), and [[FakeDecoder]] produces
+  * deterministic arithmetic metadata so fixtures and the DuckDB oracle can
+  * verify the plumbing byte-for-byte. Audio/video codecs are not in this
+  * container; a JNI/JavaCV-backed [[MediaDecoder]]/[[FrameDecoder]] drops in
+  * behind the same interface on a real cluster and nothing else changes.
   */
 case class MediaMeta(
     doc_id: Long,
@@ -32,10 +35,25 @@ object FakeDecoder extends MediaDecoder {
       if (bytes.isEmpty) -1 else bytes(0) & 0xff)
 }
 
-/** Real codec goes here on a cluster with media libraries installed. */
-object UnimplementedDecoder extends MediaDecoder {
-  def decode(id: Long, bytes: Array[Byte]): MediaMeta =
-    ??? // requires image/audio codecs not present in this sandbox
+/** Real image decode via the JDK's own codecs: `javax.imageio` ships
+  * PNG/JPEG/BMP/GIF readers with zero extra jars, so actual width/height
+  * come from the decoder. The ImageIO registry lookup is JVM-global and
+  * thread-safe; one call per row is the codec's own amortization (no native
+  * context to cache, unlike the JavaCV-style decoders this interface also
+  * admits). A payload no installed reader recognizes — or a corrupt image —
+  * decodes to (-1, -1) dims instead of failing the partition, so one bad
+  * blob in a 100 TB scan costs one marker row, not a task retry storm.
+  */
+object ImageIODecoder extends MediaDecoder {
+  def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    MediaMeta(id, bytes.length,
+      if (img == null) -1 else img.getWidth,
+      if (img == null) -1 else img.getHeight,
+      if (bytes.isEmpty) -1 else bytes(0) & 0xff)
+  }
 }
 
 /** One sampled frame of a (fake-)video payload: provenance offsets so a

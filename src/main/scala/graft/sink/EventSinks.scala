@@ -1,9 +1,22 @@
 package graft.sink
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.model.Events
+
+/** Level ordering shared by the min-level filters (the reference's
+  * `LogLevel` comparison in ConsoleEventSink.cs:38-42).
+  */
+private[sink] object EventLevels {
+  val order = Map("DEBUG" -> 0, "INFO" -> 1, "WARN" -> 2, "ERROR" -> 3, "CRITICAL" -> 4)
+
+  /** Rank of the `level` column; unknown levels rank as INFO. */
+  def rank(level: Column): Column =
+    order.foldLeft(lit(order("INFO")): Column) { case (acc, (l, r)) =>
+      when(level === l, lit(r)).otherwise(acc)
+    }
+}
 
 /** The reference's event-sink channel (reference:
   * src/Shipwright.Core/Dataflows/EventSinks/ConsoleEventSink.cs:16-95,
@@ -27,6 +40,29 @@ object ErrorSplit {
         col("event.description").as("description"), col("event.value").as("value")): _*)
     (valid, errors)
   }
+
+  /** Per-record console lines (reference ConsoleEventSink.cs:44-95 logs each
+    * record's event list at/above the minimum level). Formatting and the
+    * level filter run DATA-PARALLEL over the [[split]] error stream; only
+    * the final console emission ([[ConsoleEventSink.sinkRecords]]) is
+    * driver-side — the console is inherently a driver device.
+    */
+  def recordLines(errors: DataFrame, keyCols: Seq[String],
+                  minimumLevel: String = "WARN"): Dataset[String] = {
+    require(EventLevels.order.contains(minimumLevel),
+      s"Unknown minimum level [$minimumLevel]; expected one of ${EventLevels.order.keys.mkString(", ")}")
+    val spark = errors.sparkSession
+    import spark.implicits._
+    val keyPart = concat_ws(", ", keyCols.map(k =>
+      concat(lit(k + "="), coalesce(col(k).cast("string"), lit("null")))): _*)
+    errors
+      .filter(EventLevels.rank(col("level")) >= lit(EventLevels.order(minimumLevel)))
+      .select(concat(
+        lit("["), col("level"), lit("] record("), keyPart, lit("): "),
+        col("description"),
+        coalesce(concat(lit(" value="), col("value")), lit(""))).as("line"))
+      .as[String]
+  }
 }
 
 /** Lifecycle notification sinks. The per-record volume goes through
@@ -46,6 +82,19 @@ class ConsoleEventSink(minimumLevel: String = "WARN") extends EventSink {
     if (order.getOrElse(level, 1) >= order.getOrElse(minimumLevel, 2))
       // scalastyle:off println
       println(s"[$level] $message")
+      // scalastyle:on println
+
+  /** Per-record mode: print one line per record event at/above this sink's
+    * minimum level (closes the last deviation from ConsoleEventSink.cs:44-95,
+    * which logs each record's event list). `toLocalIterator` streams one
+    * partition at a time, so the driver never materializes the full error
+    * set even when the pipeline output is large.
+    */
+  def sinkRecords(errors: DataFrame, keyCols: Seq[String]): Unit =
+    ErrorSplit.recordLines(errors, keyCols, minimumLevel)
+      // the formatted line already carries its own [LEVEL] prefix
+      // scalastyle:off println
+      .toLocalIterator().forEachRemaining(println(_))
       // scalastyle:on println
 }
 

@@ -57,18 +57,33 @@ trait BatchEffect extends Serializable {
   * interface where the jar exists.
   *
   * Concurrency contract: SINGLE WRITER per table (the Iceberg-without-a-
-  * catalog-lock reality). `synchronized` serializes one JVM's instances;
-  * across processes the manifest commit uses rename-without-overwrite as a
-  * best-effort optimistic check — the loser of a version race fails loudly
-  * instead of silently clobbering — but the gc of a just-loosed writer's
-  * data dir cannot be excluded without a catalog, so do not run two
-  * writers against one table.
+  * catalog-lock reality). Within one JVM, ALL MergeSink instances over the
+  * same table serialize on a shared per-table monitor (interned by
+  * qualified table path — see [[MergeSink.lockFor]]), so two instances
+  * cannot interleave commits; across processes the manifest commit uses
+  * rename-without-overwrite as a best-effort optimistic check — the loser
+  * of a version race fails loudly instead of silently clobbering — but the
+  * gc of a just-loosed writer's data dir cannot be excluded without a
+  * catalog, so do not run two writer PROCESSES against one table.
   *
   * At 10^12-turn scale the bucket count rises with the key cardinality via
   * [[rebucket]] (read-all → re-hash → one commit), and the per-batch work
   * stays proportional to the batch's key spread, exactly like Iceberg's
   * merge-on-read partition pruning.
   */
+object MergeSink {
+  /** JVM-wide per-table monitors, interned by qualified table path: every
+    * instance over the same table locks the SAME object, so in-JVM writers
+    * are mutually excluded (an instance-level `synchronized` only excluded
+    * re-entry on one instance). Monitors are never removed — one Object per
+    * distinct table path touched by this JVM is noise.
+    */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(qualifiedRoot: String): Object =
+    tableLocks.computeIfAbsent(qualifiedRoot, _ => new Object)
+}
+
 class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
                 numBuckets: Int = 16, journalCompactAfter: Int = 1 << 16) {
   require(keyCols.nonEmpty, "MergeSink needs at least one key column")
@@ -82,6 +97,7 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
       .getOrElse(new Configuration())
   private val fs: FileSystem = new HPath(tableDir).getFileSystem(hconf)
   private val root: HPath = fs.makeQualified(new HPath(tableDir))
+  private val tableLock: Object = MergeSink.lockFor(root.toString)
   fs.mkdirs(root)
   private lazy val fc: FileContext = FileContext.getFileContext(root.toUri, hconf)
 
@@ -213,7 +229,7 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
     */
   def merge(batch: DataFrame, batchId: Long,
             deleteCol: Option[String] = None,
-            effects: Seq[BatchEffect] = Nil): Unit = synchronized {
+            effects: Seq[BatchEffect] = Nil): Unit = tableLock.synchronized {
     if (isCommitted(batchId)) return
     effects.foreach(_.apply(batch, batchId))
     val spark = batch.sparkSession
@@ -283,7 +299,7 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
     * (per-bucket dirs getting too large); subsequent merges and reopened
     * sinks pick the journaled width up automatically.
     */
-  def rebucket(spark: SparkSession, newBuckets: Int): Unit = synchronized {
+  def rebucket(spark: SparkSession, newBuckets: Int): Unit = tableLock.synchronized {
     require(newBuckets > 0, "rebucket needs a positive bucket count")
     val v = currentVersion
     if (newBuckets == widthAt(v)) return
@@ -321,9 +337,17 @@ class MergeSink(tableDir: String, keyCols: Seq[String], versionCol: String,
     * loudly (optimistic-concurrency check) instead of silently clobbering.
     * An orphan `_manifest.{v}` ABOVE the committed pointer — the residue of
     * a crash between rename and flip, unreachable by readers — is cleared
-    * first so the single writer can never wedge itself.
+    * first so the single writer can never wedge itself. (An orphan is
+    * distinguishable from a CONCURRENT winner's manifest: the winner also
+    * flipped `_current`, so its version is not above the pointer and the
+    * clear is skipped — the rename then collides and fails.)
+    *
+    * Visible to tests: the collision spec drives this commit step directly
+    * to simulate losing the cross-process race, whose timing window (between
+    * this writer's version read and its rename) cannot be hit
+    * deterministically from the public API.
     */
-  private def writeVersion(version: Long, manifest: Map[Int, String], width: Int): Unit = {
+  private[graft] def writeVersion(version: Long, manifest: Map[Int, String], width: Int): Unit = {
     val dst = manifestPath(version)
     if (fs.exists(dst) && version > currentVersion) fs.delete(dst, false)
     val mtmp = new HPath(root, "_manifest.tmp")

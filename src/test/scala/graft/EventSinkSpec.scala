@@ -24,6 +24,20 @@ class EventSinkSpec extends AnyFunSuite {
     assert(errs == Set((2L, true, "ERROR"), (3L, true, "ERROR")))
   }
 
+  test("per-record console mode: one line per record event at/above minimum level") {
+    val df = Seq((1L, "ok"), (2L, null), (3L, " ")).toDF("pos", "f")
+    val piped = Pipeline(df, Seq(Required(Seq("f"))))
+    val (_, errors) = ErrorSplit.split(piped, Seq("pos"))
+    val lines = ErrorSplit.recordLines(errors, Seq("pos"), "WARN").collect().sorted
+    assert(lines.length == 2, s"got: ${lines.mkString("; ")}")
+    assert(lines.forall(_.startsWith("[ERROR] record(pos=")))
+    assert(lines.exists(_.contains("pos=2")) && lines.exists(_.contains("pos=3")))
+    // a minimum level above the events' level suppresses them
+    assert(ErrorSplit.recordLines(errors, Seq("pos"), "CRITICAL").isEmpty)
+    // the console terminus streams without error
+    new ConsoleEventSink("WARN").sinkRecords(errors, Seq("pos"))
+  }
+
   test("dataflow lifecycle notifications fire from a real run") {
     val captured = new CollectingEventSink
     val df = Seq((1L, "a"), (2L, "b")).toDF("pos", "f")

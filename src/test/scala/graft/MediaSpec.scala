@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.media.Media
+import graft.media.{ImageIODecoder, Media}
 
 /** Multimodal plumbing truth table: hand-computed frame fan-out and resize
   * planning for known payload sizes (the codec is the deterministic fake;
@@ -34,6 +34,19 @@ class MediaSpec extends AnyFunSuite {
     val got = Media.frameSample(payloads(1L -> 130), "doc_id", "payload", everyN = 1)
       .collect().map(f => (f.frame_idx, f.frame_len)).toSet
     assert(got == Set((0L, 64), (1L, 64), (2L, 2)))
+  }
+
+  test("ImageIODecoder: real PNG decode through the extractMeta plumbing") {
+    // checked-in 13x7 RGB PNG fixture (deterministically generated)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/media/fixture.png"))
+    val df = Seq((1L, bytes), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = Media.extractMeta(df, "doc_id", "payload", ImageIODecoder)
+      .collect().map(m => (m.doc_id, m.n_bytes, m.width, m.height, m.first_byte)).toSet
+    assert(got == Set(
+      (1L, bytes.length, 13, 7, 0x89), // real dims from the JDK codec; PNG magic byte
+      (2L, 12, -1, -1, 'n'.toInt))) // unrecognized payload → marker row, no failure
   }
 
   test("resizeMeta: no upscale, width-bound, height-bound, 1px floor") {

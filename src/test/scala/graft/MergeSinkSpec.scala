@@ -58,6 +58,42 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(tableOf(sink).size == before.size)
   }
 
+  test("concurrent-writer collision: loser fails loudly, winner's manifest unclobbered") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("merge_collide").toString
+    val sink = new MergeSink(dir, Seq("conv_id", "turn_idx"), "pos", numBuckets = 4)
+    sink.merge(Seq(turn("c1", 0, "v0", 1)).toDF(), 0L) // commits version 0
+    // Simulate a SECOND PROCESS winning the race to version 1: its manifest
+    // exists and _current points at it, while this sink's in-flight commit
+    // (which read version 0 before the winner published) targets the same
+    // version. writeVersion is driven directly because the race window —
+    // between the loser's version read and its rename — is not reachable
+    // deterministically through merge().
+    val winnerManifest = "buckets\t4\n"
+    Files.write(java.nio.file.Paths.get(dir, "_manifest.1"), winnerManifest.getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(dir, "_current"), "1".getBytes("UTF-8"))
+    // raw writes bypass Hadoop's ChecksumFileSystem: drop the now-stale crc
+    // sidecars so the sink's reads see the simulated winner's files
+    Files.deleteIfExists(java.nio.file.Paths.get(dir, "._current.crc"))
+    Files.deleteIfExists(java.nio.file.Paths.get(dir, "._manifest.1.crc"))
+    val ex = intercept[IllegalStateException] {
+      sink.writeVersion(1L, Map(0 -> "data_v1/__bucket=0"), 4)
+    }
+    assert(ex.getMessage.contains("another writer"))
+    // rename-without-overwrite means the winner's manifest was NOT clobbered
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.1")), "UTF-8") == winnerManifest)
+    assert(sink.currentVersion == 1L)
+    // an ORPHAN above the committed pointer (crash residue: manifest renamed
+    // but _current never flipped) must still be cleared, not collide — the
+    // single writer can never wedge itself on its own debris
+    Files.write(java.nio.file.Paths.get(dir, "_manifest.2"), "buckets\t4\n".getBytes("UTF-8"))
+    sink.merge(Seq(turn("c2", 0, "v1", 2)).toDF(), 1L) // targets version 2, succeeds
+    // the winner's (empty) manifest was the base: c1's version-0 data is no
+    // longer referenced, so the merged table carries exactly the new batch
+    assert(tableOf(sink).map(t => (t._1, t._2)) == Set(("c2", 0)))
+  }
+
   test("merge: tombstones delete keys exactly-once; replays converge") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._

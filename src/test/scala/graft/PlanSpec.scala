@@ -127,14 +127,25 @@ class PlanSpec extends AnyFunSuite {
         col("event_id").cast("long").as("pos"))
       .write.mode("overwrite").parquet(dir)
     val src = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
-    val q = graft.stream.ToolPair.streaming(src).writeStream.format("noop")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("ckpt_plan").toString)
-      .start()
+    // Deterministic plan capture (the round-4 flake): racing q.explain()
+    // against the stream thread let a no-data watermark-commit batch replace
+    // lastExecution with a LocalTableScan <empty> plan between "first
+    // progress seen" and the explain call. Disabling no-data micro-batches
+    // for THIS query means processAllAvailable() returns with the
+    // data-carrying batch as the last (and only) execution — no sleep-poll,
+    // no race, and a failed query surfaces as a StreamingQueryException
+    // instead of an infinite wait.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val savedNoData = spark.conf.get(noDataKey)
+    spark.conf.set(noDataKey, "false")
+    val q =
+      try graft.stream.ToolPair.streaming(src).writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_plan").toString)
+        .start()
+      finally spark.conf.set(noDataKey, savedNoData)
     try {
-      // explain the FIRST data-carrying batch: processAllAvailable would end
-      // on a no-data watermark-cleanup batch whose scan is a LocalTableScan
-      while (q.recentProgress.isEmpty) Thread.sleep(100)
+      q.processAllAvailable()
       val out = new java.io.ByteArrayOutputStream()
       Console.withOut(new java.io.PrintStream(out)) { q.explain() }
       val p = out.toString

@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.stream.{OrderRepair, TurnPos}
+import graft.stream.{FlaggedTurn, OrderRepair, StreamDedup, TurnPos}
 
 /** Checkpoint-resume semantics (north rule: "the job resumes exactly-once
   * from any checkpoint"): the order-repair state — nextIdx and the
@@ -53,6 +53,44 @@ class ResumeSpec extends AnyFunSuite {
     q2.stop()
     import scala.jdk.CollectionConverters._
     assert(emitted.asScala.toSeq.sorted == Seq(0, 1, 2, 3))
+  }
+
+  test("flag dedup first-seen state survives checkpoint restart") {
+    implicit val enc = Encoders.product[TurnPos]
+    val ckpt = Files.createTempDirectory("dedup_ckpt").toString
+    val ms = MemoryStream[TurnPos](enc, spark)
+    // (pos, is_duplicate, dup_of_pos) — a Set absorbs any replayed batch on
+    // restart (foreachBatch re-delivery), so the assertion is on the
+    // CONVERGED flagged multiset, the reference Unique first-wins contract
+    val out = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Boolean, Option[Long])]()
+
+    def start() = StreamDedup.flagWithinWatermark(
+        ms.toDS().withWatermark("ts", "10 seconds"), gapMs = 60000L)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[FlaggedTurn], _: Long) =>
+        b.collect().foreach(f => out.add((f.pos, f.is_duplicate, f.dup_of_pos)))
+      }.start()
+
+    // run 1: first arrivals for keys (a,0) and (a,1), then "crash"
+    val q1 = start()
+    ms.addData(Seq(turn("a", 0, 1), turn("a", 1, 2)))
+    q1.processAllAvailable()
+    q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(out.asScala == Set((1L, false, None), (2L, false, None)))
+
+    // run 2 (restarted from checkpoint): a re-arrival of key (a,0) must be
+    // flagged with the pre-crash original's position — first-seen state
+    // (Unique.cs:89-93 first-wins) survived the restart
+    val q2 = start()
+    ms.addData(Seq(turn("a", 0, 5), turn("b", 0, 6)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(out.asScala == Set(
+      (1L, false, None), (2L, false, None),
+      (5L, true, Some(1L)), (6L, false, None)))
   }
 
   test("session window aggregation runs as a streaming query") {
