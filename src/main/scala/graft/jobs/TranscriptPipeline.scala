@@ -45,7 +45,12 @@ object TranscriptPipeline {
       gapMs: Long = 600000L,
       strict: Boolean = false,
       maxFilesPerTrigger: Int = 64,
-      eventSink: EventSink = new ConsoleEventSink())
+      eventSink: EventSink = new ConsoleEventSink(),
+      // per-record event mode (reference ConsoleEventSink.cs:44-95): when
+      // set, every record event at/above this level is routed through
+      // `eventSink.notify`, one call per event, in addition to the
+      // aggregate per-batch notifications
+      perRecordLevel: Option[String] = None)
 
   /** Build and start the streaming query. Returns the query + sink (the
     * caller owns lifecycle — tests use processAllAvailable, production
@@ -88,6 +93,13 @@ object TranscriptPipeline {
           // NotifyRecordCompleted, aggregated to stay driver-cheap)
           cfg.eventSink.notify(if (nErrors > 0) "WARN" else "INFO",
             s"batch $batchId: $nErrors error rows appended to ${cfg.errorsDir}")
+          // optional per-record fidelity: formatting + level filter run
+          // data-parallel; only the notify loop is driver-side, streamed a
+          // partition at a time
+          cfg.perRecordLevel.foreach { lvl =>
+            ErrorSplit.recordEvents(errors, Seq("conv_id", "turn_idx", "pos"), lvl)
+              .toLocalIterator().forEachRemaining(e => cfg.eventSink.notify(e._1, e._2))
+          }
           val repaired = OrderRepair.batch(
             valid.select("conv_id", "turn_idx", "role", "text", "tool", "ts", "pos")
               .as[TurnPos],

@@ -47,20 +47,37 @@ object ErrorSplit {
     * the final console emission ([[ConsoleEventSink.sinkRecords]]) is
     * driver-side — the console is inherently a driver device.
     */
-  def recordLines(errors: DataFrame, keyCols: Seq[String],
-                  minimumLevel: String = "WARN"): Dataset[String] = {
+  private def formatted(errors: DataFrame, keyCols: Seq[String],
+                        minimumLevel: String): DataFrame = {
     require(EventLevels.order.contains(minimumLevel),
       s"Unknown minimum level [$minimumLevel]; expected one of ${EventLevels.order.keys.mkString(", ")}")
-    val spark = errors.sparkSession
-    import spark.implicits._
     val keyPart = concat_ws(", ", keyCols.map(k =>
       concat(lit(k + "="), coalesce(col(k).cast("string"), lit("null")))): _*)
     errors
       .filter(EventLevels.rank(col("level")) >= lit(EventLevels.order(minimumLevel)))
-      .select(concat(
-        lit("["), col("level"), lit("] record("), keyPart, lit("): "),
-        col("description"),
-        coalesce(concat(lit(" value="), col("value")), lit(""))).as("line"))
+      .select(col("level"), concat(
+        lit("record("), keyPart, lit("): "), col("description"),
+        coalesce(concat(lit(" value="), col("value")), lit(""))).as("message"))
+  }
+
+  /** (level, message) pairs at/above the minimum level — the shape an
+    * [[EventSink]]'s `notify` takes, so a pipeline can route per-record
+    * events through whatever sink is configured.
+    */
+  def recordEvents(errors: DataFrame, keyCols: Seq[String],
+                   minimumLevel: String = "WARN"): Dataset[(String, String)] = {
+    val spark = errors.sparkSession
+    import spark.implicits._
+    formatted(errors, keyCols, minimumLevel).as[(String, String)]
+  }
+
+  /** Pre-rendered `[LEVEL] record(...): ...` console lines. */
+  def recordLines(errors: DataFrame, keyCols: Seq[String],
+                  minimumLevel: String = "WARN"): Dataset[String] = {
+    val spark = errors.sparkSession
+    import spark.implicits._
+    formatted(errors, keyCols, minimumLevel)
+      .select(concat(lit("["), col("level"), lit("] "), col("message")).as("line"))
       .as[String]
   }
 }

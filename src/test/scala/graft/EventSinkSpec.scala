@@ -64,13 +64,19 @@ class EventSinkSpec extends AnyFunSuite {
     val captured = new CollectingEventSink
     val (q, _) = graft.jobs.TranscriptPipeline.start(spark,
       graft.jobs.TranscriptPipeline.Config(in, s"$base/out", s"$base/errs",
-        s"$base/ckpt", s"$base/progress", eventSink = captured))
+        s"$base/ckpt", s"$base/progress", eventSink = captured,
+        perRecordLevel = Some("WARN")))
     q.processAllAvailable()
     q.stop()
     val msgs = captured.captured
     assert(msgs.exists { case (lvl, m) =>
       lvl == "WARN" && m.contains("1 error rows") }, s"got: $msgs")
     assert(msgs.exists(_._2.contains("merged into")))
+    // per-record mode: the bad row's event arrives as its own notification,
+    // keyed, at the event's level
+    assert(msgs.exists { case (lvl, m) =>
+      lvl == "ERROR" && m.startsWith("record(conv_id=c1, turn_idx=1, pos=2)") },
+      s"got: $msgs")
   }
 
   test("sourceCsv: fatal read notifies sinks and contributes zero records") {
