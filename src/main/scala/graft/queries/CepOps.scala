@@ -85,6 +85,12 @@ object CepOps {
         .select(col("conv_id"), col("call_turn_idx"), col("tool"),
           col("result_turn_idx"), col("latency_ms"))),
 
+    // CEP absence detection — calls with no result within the SLA window.
+    // Streaming flavor (ToolPair.timeoutsStreaming) emits the same rows via
+    // the watermarked left-outer join; StreamingSpec asserts equality.
+    "q_tool_timeout" -> ((s, dir) =>
+      ToolPair.timeoutsBatch(Transcript.fromEvents(s, dir))),
+
     "q_window_tumbling" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
       ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -173,6 +179,18 @@ object CepOps {
         |)
         |SELECT conv_id, call_turn_idx, tool, result_turn_idx, latency_ms
         |FROM joined WHERE rn = 1""".stripMargin),
+
+    "q_tool_timeout" -> (W +
+      """, calls AS (
+        |  SELECT conv_id, turn_idx AS call_turn_idx, tool, ts AS call_ts
+        |  FROM turns WHERE role = 'assistant' AND tool IS NOT NULL
+        |)
+        |SELECT c.conv_id, c.call_turn_idx, c.tool, c.call_ts
+        |FROM calls c WHERE NOT EXISTS (
+        |  SELECT 1 FROM turns r
+        |  WHERE r.role = 'tool' AND r.conv_id = c.conv_id AND r.tool = c.tool
+        |    AND r.turn_idx > c.call_turn_idx
+        |    AND r.ts >= c.call_ts AND r.ts <= c.call_ts + INTERVAL 5 MINUTE)""".stripMargin),
 
     "q_window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,

@@ -58,6 +58,19 @@ object RelOps {
           count(lit(1)).as("n_rows"))
     }),
 
+    // As-of (temporal) enrichment: each purchase gets the latest view the
+    // same user made at-or-before the purchase time — the union+running-
+    // window as-of join (one shuffle, no range join; transform/AsOfJoin).
+    "q_asof_enrich" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+      graft.transform.AsOfJoin.asof(purchases, views,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightOrd = "event_id", rightVals = Seq("event_id", "value"))
+    }),
+
     // Custom codegen'd Catalyst expressions, oracle-checked: DuckDB folds
     // the UTF-8 bytes with HUGEINT arithmetic mod 2^64 (see oracles below);
     // exactness is additionally asserted by FingerprintSpec.
@@ -125,6 +138,23 @@ object RelOps {
     "q_fingerprint" ->
       s"""WITH ${fingerprintSql("documents")}
          |SELECT doc_id, fnv64, rolling_min8 FROM fp""".stripMargin,
+
+    // LATERAL top-1 = the as-of semantics (latest right at-or-before left's
+    // ts, ties by greatest event_id); values are carried verbatim so the
+    // double `value` columns compare byte-exact.
+    "q_asof_enrich" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  l.event_id AS asof_event_id, l.value AS asof_value
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT v.event_id, v.value FROM v
+        |  WHERE v.user_id = p.user_id AND v.ts <= p.ts
+        |  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+        |) l ON true""".stripMargin,
 
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

@@ -21,7 +21,7 @@ object TextOps {
   // ---- deterministic test-dirt: near-dup copies (first two words dropped)
   //      and exact copies, so dedup operators have non-trivial output ----
 
-  private def augDocs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def augDocs(s: SparkSession, dir: String): DataFrame = {
     val d = s.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text", "lang", "source")
     d.unionByName(
@@ -33,7 +33,7 @@ object TextOps {
           .withColumn("doc_id", col("doc_id") + 200000L))
   }
 
-  private val augSql =
+  private[queries] val augSql =
     """aug AS (
       |  SELECT doc_id, text, lang, source FROM documents
       |  UNION ALL
@@ -88,7 +88,7 @@ object TextOps {
       .select(col("doc_id"), pmod(md5Hash60(col("shingle")), lit(M)).as("h"))
       .distinct()
 
-  private val shingleHashesSql =
+  private[queries] val shingleHashesSql =
     s"""sh AS (
        |  SELECT DISTINCT a.doc_id,
        |    ${md5Hash60Sql("g.s")} % $M AS h
@@ -108,12 +108,43 @@ object TextOps {
         min((col("h") * as.head + bs.head) % M).as("mh0"),
         (1 until K).map(i => min((col("h") * as(i) + bs(i)) % M).as(s"mh$i")): _*)
 
-  private val signaturesSql =
+  private[queries] val signaturesSql =
     s"""sig AS (
        |  SELECT doc_id,
        |    ${(0 until K).map(i => s"min((h * ${as(i)} + ${bs(i)}) % $M) AS mh$i").mkString(",\n    ")}
        |  FROM sh GROUP BY doc_id
        |)""".stripMargin
+
+  /** MinHash-LSH near-dup pairs (doc_a < doc_b, estimated Jaccard ≥ 0.5):
+    * 4 bands × 4 rows; candidate pairs share ≥1 band; estimated Jaccard =
+    * fraction of equal minhashes. The band join is an equi-join on
+    * (band_idx, band_value) — linear in data, no O(n²) pair scan. sig is
+    * read 3× (bands + both re-rank sides); MEMORY_AND_DISK spills rather
+    * than OOMs at scale — swap for checkpoint when recompute is cheaper.
+    * Also the edge set for [[GraphOps]] duplicate-cluster assignment.
+    */
+  private[queries] def minhashNearDups(docs: DataFrame): DataFrame = {
+    val sig = signatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sig.select(col("doc_id"),
+      array((0 until 4).map(b =>
+        concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)): _*).as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")))
+      .toDF("doc_id", "band_idx", "band_val")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val est = (0 until K).map(i =>
+      when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (est.cast("double") / K).as("jaccard_est"))
+      .filter(col("jaccard_est") >= 0.5)
+  }
 
   // ---- SimHash: 48-bit over word-unigram hashes ----
 
@@ -220,33 +251,7 @@ object TextOps {
 
     "q_minhash_signature" -> ((s, dir) => signatures(augDocs(s, dir))),
 
-    "q_dedup_minhash" -> ((s, dir) => {
-      // LSH: 4 bands × 4 rows; candidate pairs share ≥1 band; estimated
-      // Jaccard = fraction of equal minhashes. The band join is an equi-join
-      // on (band_idx, band_value) — linear in data, no O(n²) pair scan.
-      // read 3× (bands + both re-rank sides); MEMORY_AND_DISK spills rather
-      // than OOMs at scale — swap for checkpoint when recompute is cheaper
-      val sig = signatures(augDocs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = sig.select(col("doc_id"),
-        array((0 until 4).map(b =>
-          concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)): _*).as("bands"))
-        .select(col("doc_id"), posexplode(col("bands")))
-        .toDF("doc_id", "band_idx", "band_val")
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_val") === col("y.band_val") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val est = (0 until K).map(i =>
-        when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0)).reduce(_ + _)
-      cand.join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (est.cast("double") / K).as("jaccard_est"))
-        .filter(col("jaccard_est") >= 0.5)
-    }),
+    "q_dedup_minhash" -> ((s, dir) => minhashNearDups(augDocs(s, dir))),
 
     "q_dedup_simhash" -> ((s, dir) => {
       // SimHash near-dup: band on 12-bit chunks, verify hamming ≤ 6.
@@ -323,6 +328,24 @@ object TextOps {
 
   private def withAug(rest: String) = s"WITH $augSql\n$rest"
 
+  /** DuckDB CTEs `bands` + `cand` (LSH candidate pairs) over `sig`. */
+  private[queries] val bandsCandSql: String =
+    s"""bands AS (
+       |  SELECT doc_id, b.band_idx,
+       |    CASE b.band_idx
+       |      ${(0 until 4).map(b => s"WHEN $b THEN concat(${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ',', ")})").mkString("\n      ")}
+       |    END AS band_val
+       |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+       |)""".stripMargin
+
+  /** Estimated Jaccard between signature aliases `sa` and `sb`. */
+  private[queries] val jaccardEstSql: String =
+    s"(${(0 until K).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / ${K.toDouble}"
+
   val oracles: Map[String, String] = Map(
 
     // NOTE deliberate asymmetry: the oracle partitions by RAW TEXT while the
@@ -357,21 +380,10 @@ object TextOps {
 
     "q_dedup_minhash" -> withAug(
       s""", $shingleHashesSql, $signaturesSql,
-         |bands AS (
-         |  SELECT doc_id, b.band_idx,
-         |    CASE b.band_idx
-         |      ${(0 until 4).map(b => s"WHEN $b THEN concat(${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ',', ")})").mkString("\n      ")}
-         |    END AS band_val
-         |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
-         |), cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
-         |)
-         |SELECT doc_a, doc_b,
-         |  (${(0 until K).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / ${K.toDouble} AS jaccard_est
+         |$bandsCandSql
+         |SELECT doc_a, doc_b, $jaccardEstSql AS jaccard_est
          |FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id JOIN sig sb ON cand.doc_b = sb.doc_id
-         |WHERE (${(0 until K).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / ${K.toDouble} >= 0.5""".stripMargin),
+         |WHERE $jaccardEstSql >= 0.5""".stripMargin),
 
     "q_dedup_simhash" -> withAug(
       s""", $simhashSql,

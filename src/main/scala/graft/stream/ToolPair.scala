@@ -61,6 +61,28 @@ object ToolPair {
       .drop("r_conv_id", "r_tool")
       .withColumn("latency_ms", latencyMs)
 
+  /** CEP absence detection ("tool call never answered within the SLA"):
+    * calls with NO matching result within `maxDelay`. Batch flavor is a
+    * left-anti join — one exchange on (conv_id, tool), no window, no
+    * earliest-winner ranking, so it is strictly cheaper than `batch` when
+    * only the timeouts are wanted.
+    */
+  def timeoutsBatch(turns: DataFrame, maxDelay: String = "5 MINUTES"): DataFrame =
+    calls(turns).join(results(turns), joinCond(maxDelay), "left_anti")
+      .select(col("conv_id"), col("call_turn_idx"), col("tool"), col("call_ts"))
+
+  /** Streaming absence detection: the left-outer stream-stream join filtered
+    * to null-padded rows. Spark emits the outer row exactly once, when the
+    * watermark passes `call_ts + maxDelay` and join state for the call is
+    * evicted — i.e. the timeout fires as soon as the stream can PROVE no
+    * result can still arrive, which is the CEP timeout semantic.
+    */
+  def timeoutsStreaming(turns: DataFrame, maxDelay: String = "5 MINUTES",
+                        watermark: String = "10 minutes"): DataFrame =
+    streaming(turns, maxDelay, watermark, leftOuter = true)
+      .filter(col("result_turn_idx").isNull)
+      .select(col("conv_id"), col("call_turn_idx"), col("tool"), col("call_ts"))
+
   /** Streaming: both sides watermarked; inner or left-outer per
     * `leftOuter` (outer emission waits for the watermark, per Spark
     * stream-stream join semantics). Note streaming joins cannot apply the

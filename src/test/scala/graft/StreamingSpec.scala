@@ -352,6 +352,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(ToolPair.batch(data.toDF()).filter(col("result_turn_idx").isNull).count() == 2)
   }
 
+  test("tool timeouts (streaming absence detection) equal the batch left-anti flavor") {
+    implicit val enc = Encoders.product[TurnPos]
+    val ms = MemoryStream[TurnPos](enc, spark)
+    val touts = ToolPair.timeoutsStreaming(ms.toDS().toDF(),
+      maxDelay = "1 MINUTES", watermark = "1 minutes")
+    val name = s"timeout_${System.nanoTime()}"
+    val q = touts.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString).start()
+    val data = Seq(
+      turn("a", 0, 10, role = "assistant", tool = "search"),
+      turn("a", 1, 20, role = "tool", tool = "search"),     // answered in time
+      turn("a", 2, 30, role = "assistant", tool = "calc"),  // never answered
+      turn("b", 0, 40, role = "assistant", tool = "search"),
+      turn("b", 1, 200, role = "tool", tool = "search"))    // answered too late (> 1 min)
+    ms.addData(data)
+    q.processAllAvailable()
+    // advance the watermark far past call_ts + maxDelay so outer state flushes
+    ms.addData(Seq(turn("z", 0, 2000, role = "tool", tool = "zzz")))
+    q.processAllAvailable()
+    ms.addData(Seq(turn("z", 1, 3000, role = "tool", tool = "zzz")))
+    q.processAllAvailable()
+    ms.addData(Seq(turn("z", 2, 4000, role = "tool", tool = "zzz")))
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("conv_id", "call_turn_idx", "tool").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    import spark.implicits._
+    val expected = canon(ToolPair.timeoutsBatch(data.toDF(), maxDelay = "1 MINUTES"))
+    assert(expected == Set(("a", 2, "calc"), ("b", 0, "search")))
+    assert(canon(spark.table(name)) == expected)
+  }
+
   test("batchPairs is the exact multiset the streaming inner join emits (multi-match call)") {
     // the bench harness's correctness guard (Bench.joinOnce) asserts
     // emitted-count == batchPairs-count; this pins the semantic it relies
