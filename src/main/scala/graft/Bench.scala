@@ -381,6 +381,13 @@ object Bench {
     //      session-compressed event time (a conversation lives minutes, not
     //      the month the raw events span) and files range-ordered by ts so
     //      arrival order ≈ event-time order — the realistic stream shape ----
+    // sweep staged inputs leaked by prior (possibly killed) bench runs —
+    // each run stages ~500 MB under /tmp and a killed JVM never cleans up
+    Option(new java.io.File(System.getProperty("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => Seq("bench_turns", "bench_join", "bench_warmup")
+        .exists(f.getName.startsWith))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     val inputDir = Files.createTempDirectory("bench_turns").toString
     val (totalRows, joinDir, joinRows, joinPairs, warmupDir) = phase("staging") {
       val base = graft.source.Transcript.fromEvents(spark, sfDir)
@@ -449,7 +456,7 @@ object Bench {
     // re-samples at the end then catch the case where the burst covered
     // the pair itself.
     val joinTop = sys.env.get("SPARK_GRAFT_BENCH_JOIN_TOP").contains("1")
-    val schedule: Seq[Win] = Seq(
+    val requiredWins: Seq[Win] = Seq(
       Win("toolpair", 1, rounds = 1, warmup = true, estSec = 250, required = true),
       Win("toolpair", 4, rounds = 2, warmup = false, estSec = 170, required = true),
       Win("repair", 2, rounds = 1, warmup = true, estSec = 135, required = true),
@@ -457,9 +464,13 @@ object Bench {
       Win("repair", top, rounds = 2, warmup = false, estSec = 60, required = true)) ++
       (if (joinTop)
         Seq(Win("toolpair", top, rounds = 2, warmup = false, estSec = 100, required = true))
-      else Nil) ++ Seq(
-      // the join's 0.8 bar is the tightest — it gets first claim on the
-      // remaining budget, and a third sample when the box is fast
+      else Nil)
+    // optional absolute-number re-samples run LAST — after the adaptive
+    // ratio-repair pass below, which protects the integrity of the
+    // reported RATIOS and therefore has first claim on leftover budget
+    // (round-5 run 2 inverted this: the optionals consumed the budget
+    // polishing the 4N bests while the ratio sat at an impossible 2.0)
+    val optionalWins: Seq[Win] = Seq(
       Win("toolpair", 4, rounds = 1, warmup = false, estSec = 100, required = false),
       Win("repair", 8, rounds = 1, warmup = false, estSec = 55, required = false),
       Win("toolpair", 4, rounds = 1, warmup = false, estSec = 100, required = false))
@@ -484,7 +495,7 @@ object Bench {
     val startupSec = 20.0
     val winIdx = mutable.Map.empty[(String, Int), Int]
     val skipped = ArrayBuffer.empty[String]
-    for (w <- schedule) {
+    def runWindow(w: Win): Unit = {
       val cell = (w.pipeline, w.cores)
       val i = winIdx.getOrElse(cell, 0) + 1
       winIdx(cell) = i
@@ -520,6 +531,7 @@ object Bench {
         }
       }
     }
+    requiredWins.foreach(runWindow)
     // ---- adaptive ratio repair: a noise burst covering exactly ONE level
     //      of a pair yields an implausible ratio (observed round-5 run 1:
     //      repair 2→8 = 1.50 after a burst crushed only the 2-core window,
@@ -554,6 +566,8 @@ object Bench {
         if (r._3 < best(cell)._3) best(cell) = r
       }
     }
+    // absolute-number polish only with whatever budget the ratios left over
+    optionalWins.foreach(runWindow)
 
     val (thr2, p952, sec2, st2) = best(("repair", 2))
     val (thr8, p958, sec8, st8) = best(("repair", 8))
@@ -567,6 +581,15 @@ object Bench {
     val (jthr32, jp9532, jsec32, jst32) =
       best.getOrElse(("toolpair", top), (-1.0, -1.0, -1.0, -1L))
     val jeff4to32 = if (jthr32 > 0) (jthr32 / jthr4) / 8.0 else -1.0
+
+    // ratios that remain implausible after the adaptive repair budget ran
+    // out — a reader must treat the flagged pair's efficiency as sampling
+    // contamination (sustained co-tenant DRAM pressure crushes a 1-2-core
+    // child harder than a 4-8-core one: N threads of ours compete for a
+    // bandwidth share against the neighbor), not as an engine property
+    val ratioSuspect = Seq(("repair_2_to_8", eff2to8), ("toolpair_1_to_4", jeff1to4))
+      .collect { case (n, e) if e > 1.05 || e < 0.5 => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
 
     // errored queries: -1 sentinel in "queries" (keeps every value numeric
     // for the driver's parser) + the message under "query_errors"
@@ -598,6 +621,6 @@ object Bench {
         f""""scaling_efficiency_1_to_4":${jeff1to4}%.3f,"scaling_efficiency_4_to_32":${jeff4to32}%.3f,""" +
         f""""scaling_efficiency":${jeff1to4}%.3f,""" +
         """"note":"stream-stream tool-call/response inner join (watermarked both sides, range-bounded state); throughput = INPUT turns/sec over the first half (event-time prefix, same 6.4M-row micro-batches) of the repair pipeline's staged stream; emitted-pairs count verified equal to the batch all-pairs join every round; N-to-4N pair is 1-to-4 cores - the pair where both levels stay under the shared single-box memory-bandwidth ceiling this state-heavy join hits at 8 pinned cores (+40 pct per-core CPU inflation, see BASELINE.md round 4); the informational 32-core window is env-opt-in (SPARK_GRAFT_BENCH_JOIN_TOP=1), -1 = not run"}"""
-    println(s"""{"metric":"streaming turns/sec @ 32 cores","value":${f"$thr32%.1f"},"unit":"turns/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"query_errors":$qerrs,"streaming":$streaming,"streaming_toolpair":$streamingJoin,"budget_sec":${f"$budgetSec%.0f"},"wall_sec":${f"$elapsedSec%.1f"},"phases":$phasesJson,"phases_skipped":$skippedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"streaming turns/sec @ 32 cores","value":${f"$thr32%.1f"},"unit":"turns/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"query_errors":$qerrs,"streaming":$streaming,"streaming_toolpair":$streamingJoin,"budget_sec":${f"$budgetSec%.0f"},"wall_sec":${f"$elapsedSec%.1f"},"phases":$phasesJson,"phases_skipped":$skippedJson,"ratio_suspect":$ratioSuspect,"sf":"$sfDir"}""")
   }
 }

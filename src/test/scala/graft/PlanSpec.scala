@@ -68,6 +68,28 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected extra exchange in:\n$p")
   }
 
+  test("q_tool_timeout: anti join keeps its equi-keys — never a nested loop at scale") {
+    // the pairing condition mixes equi-keys (conv_id, tool) with range
+    // predicates; Catalyst must extract the equi part into a hash/sort-merge
+    // LeftAnti with the ranges as residual — a BroadcastNestedLoopJoin here
+    // is O(calls × results) per conversation-pair and dies at 100 TB
+    val p = plan("q_tool_timeout")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"anti join degenerated to a nested loop:\n$p")
+    assert(p.contains("LeftAnti"), s"expected an anti join in:\n$p")
+  }
+
+  test("q_asof_enrich: one hash exchange for the as-of window — no range join") {
+    // the union+running-window as-of join must cost exactly one hash
+    // exchange on the key (plus the final window sort) — a range-join
+    // formulation would appear as a nested loop or a per-key quadratic
+    val p = plan("q_asof_enrich")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of join must not plan a nested loop:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange in:\n$p")
+  }
+
   test("q_ann_ivf: centroid assignment is map-side — no per-vector window, no corpus shuffle") {
     val p = plan("q_ann_ivf")
     // round 2 shape shuffled 16× the corpus through Window.partitionBy(vec_id)
