@@ -158,4 +158,52 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("as-of join ≡ brute-force latest-at-or-before on random batches") {
+    import graft.transform.AsOfJoin
+    val gen = Gen.zip(
+      Gen.listOfN(25, Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 50L))),
+      Gen.listOfN(25, Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 50L), Gen.choose(0.0, 9.0))))
+    forAll(gen, n = 12) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) =>
+        (s"k$k", new Timestamp(t * 1000L), i.toLong) }
+        .toDF("k", "ts", "lid")
+      val right = rs.zipWithIndex.map { case ((k, t, v), i) =>
+        (s"k$k", new Timestamp(t * 1000L), i.toLong, v) }
+        .toDF("k", "ts", "ord", "price")
+      val got = AsOfJoin.asof(left, right, "k", "ts", "ts", "ord", Seq("ord", "price"))
+        .collect().map(r => (r.getAs[Long]("lid"),
+          Option(r.getAs[java.lang.Long]("asof_ord")).map(_.toLong))).toMap
+      // brute force: max by (ts, ord) among same-key rights with ts <= left ts
+      val expect = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rs.zipWithIndex.filter { case ((rk, rt, _), _) => rk == k && rt <= t }
+        (i.toLong, cands.sortBy { case ((_, rt, _), ri) => (rt, ri) }.lastOption.map(_._2.toLong))
+      }.toMap
+      assert(got == expect)
+    }
+  }
+
+  test("connected components ≡ union-find on random graphs") {
+    import graft.queries.GraphOps
+    val gen = Gen.zip(Gen.choose(6, 14),
+      Gen.listOfN(14, Gen.zip(Gen.choose(0L, 13L), Gen.choose(0L, 13L))))
+    forAll(gen, n = 6) { case (n, rawEdges) =>
+      val nodes = (0L until n.toLong).toSeq
+      val edges = rawEdges.filter { case (a, b) => a < n && b < n }
+      val got = GraphOps.connectedComponents(
+          nodes.toDF("id"), edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find reference: the larger root always attaches under the
+      // smaller, so each set's root IS its minimum label
+      val parent = scala.collection.mutable.Map(nodes.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = nodes.map(i => i -> find(i)).toMap
+      assert(got == expect)
+    }
+  }
 }
