@@ -15,7 +15,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.ReferenceOps.defs ++ graft.queries.CepOps.defs ++
       graft.queries.TextOps.defs ++ graft.queries.VectorOps.defs ++
-      graft.queries.RelOps.defs ++ graft.queries.GraphOps.defs
+      graft.queries.RelOps.defs ++ graft.queries.GraphOps.defs ++
+      graft.queries.PipelineOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -23,5 +24,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.ReferenceOps.oracles ++ graft.queries.CepOps.oracles ++
       graft.queries.TextOps.oracles ++ graft.queries.VectorOps.oracles ++
-      graft.queries.RelOps.oracles ++ graft.queries.GraphOps.oracles
+      graft.queries.RelOps.oracles ++ graft.queries.GraphOps.oracles ++
+      graft.queries.PipelineOps.oracles
 }

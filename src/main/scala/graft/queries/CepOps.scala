@@ -115,6 +115,27 @@ object CepOps {
           col("session_window.end").as("s_end"), col("user_id"), col("n"))
     }),
 
+    "q_cep_error_burst" -> ((s, dir) => {
+      // CEP sequence pattern: maximal runs of >= 3 CONSECUTIVE 'error'
+      // events per user (gaps-and-islands: rank among all events minus rank
+      // among errors is constant within a consecutive-error run). Both
+      // windows partition on user_id — per-key work, one shuffle, no
+      // global sort; the same pattern a MATCH_RECOGNIZE engine compiles to.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.withColumn("__rn", row_number().over(byUser))
+        .filter(col("event_type") === "error")
+        .withColumn("__rn_err", row_number().over(byUser))
+        .withColumn("__grp", col("__rn") - col("__rn_err"))
+        .groupBy(col("user_id"), col("__grp"))
+        .agg(count(lit(1)).as("run_len"),
+          min(col("event_id")).as("first_event_id"),
+          max(col("event_id")).as("last_event_id"),
+          min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        .filter(col("run_len") >= 3)
+        .drop("__grp")
+    }),
+
     "q_skew_salted_agg" -> ((s, dir) => {
       // Two-stage salted aggregation: partial agg on (conv_id, salt) spreads
       // a hot conversation over 16 reducers, final agg merges partials.
@@ -218,6 +239,20 @@ object CepOps {
         |SELECT min(ts) AS s_start, max(ts) + INTERVAL 10 MINUTE AS s_end,
         |  user_id, count(*) AS n
         |FROM y GROUP BY user_id, sid""".stripMargin,
+
+    "q_cep_error_burst" ->
+      """WITH r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), e AS (
+        |  SELECT user_id, event_id, ts,
+        |    rn - row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+        |  FROM r WHERE event_type = 'error'
+        |)
+        |SELECT user_id, count(*) AS run_len,
+        |  min(event_id) AS first_event_id, max(event_id) AS last_event_id,
+        |  min(ts) AS start_ts, max(ts) AS end_ts
+        |FROM e GROUP BY user_id, grp HAVING count(*) >= 3""".stripMargin,
 
     "q_skew_salted_agg" -> (W +
       // DuckDB sum(BIGINT) yields HUGEINT (int128) — cast back to BIGINT so

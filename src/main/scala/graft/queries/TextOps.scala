@@ -45,10 +45,10 @@ object TextOps {
 
   // ---- cross-engine exact string→int64 hash: first 15 hex chars of md5 ----
 
-  private def md5Hash60(c: Column): Column =
+  private[queries] def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  private def md5Hash60Sql(e: String): String =
+  private[queries] def md5Hash60Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
   // ---- MinHash: K=16 permutations h_i(x) = (a_i*(x mod M) + b_i) mod M ----
