@@ -117,23 +117,20 @@ object CepOps {
 
     "q_cep_error_burst" -> ((s, dir) => {
       // CEP sequence pattern: maximal runs of >= 3 CONSECUTIVE 'error'
-      // events per user (gaps-and-islands: rank among all events minus rank
-      // among errors is constant within a consecutive-error run). Both
-      // windows partition on user_id — per-key work, one shuffle, no
-      // global sort; the same pattern a MATCH_RECOGNIZE engine compiles to.
+      // events per user, in event-time order. Runs the stream/Burst fMGWS
+      // core in batch mode (NoTimeout — one invocation per key, end-of-data
+      // as the final watermark), so this oracle pins the SAME function the
+      // streaming flavor runs — the OrderRepair/StreamDedup pattern. The
+      // SQL oracle is the equivalent gaps-and-islands window query.
+      import graft.stream.{Burst, KeyedEv}
+      implicit val kevEnc = Encoders.product[KeyedEv]
       val ev = s.read.parquet(s"$dir/events.parquet")
-      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      ev.withColumn("__rn", row_number().over(byUser))
-        .filter(col("event_type") === "error")
-        .withColumn("__rn_err", row_number().over(byUser))
-        .withColumn("__grp", col("__rn") - col("__rn_err"))
-        .groupBy(col("user_id"), col("__grp"))
-        .agg(count(lit(1)).as("run_len"),
-          min(col("event_id")).as("first_event_id"),
-          max(col("event_id")).as("last_event_id"),
-          min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
-        .filter(col("run_len") >= 3)
-        .drop("__grp")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (col("event_type") === "error").as("is_error"))
+        .as[KeyedEv]
+      Burst.batch(ev, minRun = 3).toDF()
+        .withColumn("start_ts", col("start_ts").cast("timestamp_ntz"))
+        .withColumn("end_ts", col("end_ts").cast("timestamp_ntz"))
     }),
 
     "q_skew_salted_agg" -> ((s, dir) => {

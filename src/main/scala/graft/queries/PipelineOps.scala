@@ -159,7 +159,7 @@ object PipelineOps {
         .select("h").distinct()
       val corpus = docs.filter(col("source") =!= "src0")
       val hits = ngramHashes(corpus, ContamN)
-        .join(bench, Seq("h"))
+        .join(broadcast(bench), Seq("h"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       corpus.select("doc_id", "source").join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"),

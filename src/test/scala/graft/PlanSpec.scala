@@ -133,6 +133,32 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 4) // 2 logical aggs × partial/final
   }
 
+  test("q_decontaminate: benchmark n-gram set broadcast — corpus never shuffles for the probe") {
+    // at 100 TB the corpus side of the contamination check must stay
+    // map-side: the benchmark set (held-out eval slices) is tiny by
+    // definition and is broadcast; a sort-merge join here would shuffle
+    // every corpus n-gram
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"bench probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin [h"),
+      s"corpus n-grams must not shuffle for the bench probe:\n$p")
+  }
+
+  test("q_pack_sequences: cumsum window partitioned by source — never a global sort") {
+    val p = plan("q_pack_sequences")
+    assert(p.contains("Exchange hashpartitioning(source"),
+      s"packing must partition by source:\n$p")
+    assert(!p.contains("Exchange SinglePartition") && !p.contains("rangepartitioning"),
+      s"packing must not serialize on a global sort:\n$p")
+  }
+
+  test("q_pii_redact and q_stratified_sample: pure map-side — zero exchanges") {
+    Seq("q_pii_redact", "q_stratified_sample").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
+    }
+  }
+
   test("streaming tool-pair join: text pruned from BOTH scans, keyed on (conv_id, tool)") {
     // The join reads the source twice (one scan per side); if column pruning
     // ever regresses, each micro-batch decodes the ~256-byte text column
