@@ -78,6 +78,70 @@ class BurstSpec extends AnyFunSuite {
     assert(streamed == runBatch(fixture))
   }
 
+  test("open run and its buffered continuation survive checkpoint restart") {
+    val ckpt = Files.createTempDirectory("burst_ckpt").toString
+    val ms = MemoryStream[KeyedEv](kevEnc, spark)
+    val out = java.util.concurrent.ConcurrentHashMap.newKeySet[Run]()
+
+    // memory sink cannot recover from a checkpoint — collect via
+    // foreachBatch (a Set absorbs any replayed batch on restart)
+    def start() = Burst.streaming(
+        ms.toDS().withWatermark("ts", "5 seconds"), gapMs = 20000L, minRun = 3)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.stream.BurstOut], _: Long) =>
+        b.collect().foreach(o =>
+          out.add((o.user_id, o.run_len, o.first_event_id, o.last_event_id)))
+      }.start()
+
+    // run 1: two errors — an OPEN run of 2 in state, nothing emitted; "crash"
+    val q1 = start()
+    ms.addData(Seq(ev(5, 50, 1, err = true), ev(5, 51, 2, err = true)))
+    q1.processAllAvailable()
+    q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(out.asScala.isEmpty)
+
+    // run 2 (restarted from checkpoint): the continuation extends the
+    // pre-crash open run; eviction closes it as ONE run of 3
+    val q2 = start()
+    ms.addData(Seq(ev(5, 52, 3, err = true)))
+    q2.processAllAvailable()
+    ms.addData(Seq(ev(99, 992, 1000, err = false)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(out.asScala == Set((5L, 3L, 50L, 52L)))
+  }
+
+  test("property: batch flavor equals a sequential reference over random inputs") {
+    // in-JVM reference: per user, sort by (ts, event_id), scan for maximal
+    // runs of >= 3 — the semantics the SQL oracle states declaratively
+    def reference(events: Seq[KeyedEv]): Set[Run] =
+      events.groupBy(_.user_id).flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+        val runs = scala.collection.mutable.Buffer.empty[Run]
+        var len = 0L; var first = 0L; var last = 0L
+        def close(): Unit = { if (len >= 3) runs += ((u, len, first, last)); len = 0 }
+        sorted.foreach { e =>
+          if (e.is_error) { if (len == 0) first = e.event_id; last = e.event_id; len += 1 }
+          else close()
+        }
+        close()
+        runs
+      }.toSet
+
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { _ =>
+      val events = (0 until 60).map { i =>
+        ev(user = rnd.nextInt(4).toLong, id = i.toLong,
+          sec = rnd.nextInt(50).toLong, err = rnd.nextInt(3) != 0)
+      }
+      // distinct (user, ts) so the reference's order is total like the
+      // operator's (equal-ts ties break by event_id in both — keep them)
+      assert(runBatch(events) == reference(events))
+    }
+  }
+
   test("streaming: run continuing past an advanced watermark stays one run") {
     // errors at ts 11-12 arrive first; the ts=17 event advances the
     // watermark to 12, so e70 is complete (below wm) when the continuation
