@@ -16,7 +16,7 @@ object SparkEntry {
     graft.queries.ReferenceOps.defs ++ graft.queries.CepOps.defs ++
       graft.queries.TextOps.defs ++ graft.queries.VectorOps.defs ++
       graft.queries.RelOps.defs ++ graft.queries.GraphOps.defs ++
-      graft.queries.PipelineOps.defs
+      graft.queries.PipelineOps.defs ++ graft.queries.ConvOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -25,5 +25,5 @@ object SparkEntry {
     graft.queries.ReferenceOps.oracles ++ graft.queries.CepOps.oracles ++
       graft.queries.TextOps.oracles ++ graft.queries.VectorOps.oracles ++
       graft.queries.RelOps.oracles ++ graft.queries.GraphOps.oracles ++
-      graft.queries.PipelineOps.oracles
+      graft.queries.PipelineOps.oracles ++ graft.queries.ConvOps.oracles
 }

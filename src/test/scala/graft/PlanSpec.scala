@@ -159,6 +159,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ConvOps: each conversation-analytics op costs one conv_id exchange over the turns derivation") {
+    // the ops themselves must add exactly one hash exchange on conv_id (the
+    // turns derivation carries its own user_id window exchange — on a
+    // pre-bucketed transcript table both collapse); no global sort anywhere
+    Seq("q_conv_stats", "q_turn_latency", "q_context_window", "q_role_violations")
+      .foreach { name =>
+        val p = plan(name)
+        assert(p.contains("Exchange hashpartitioning(conv_id"),
+          s"$name must partition by conv_id:\n$p")
+        assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+          s"$name unexpected extra exchange:\n$p")
+        assert(!p.contains("Exchange SinglePartition") && !p.contains("rangepartitioning"),
+          s"$name must not plan a global sort:\n$p")
+      }
+  }
+
   test("streaming tool-pair join: text pruned from BOTH scans, keyed on (conv_id, tool)") {
     // The join reads the source twice (one scan per side); if column pruning
     // ever regresses, each micro-batch decodes the ~256-byte text column
