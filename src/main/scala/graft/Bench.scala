@@ -201,18 +201,23 @@ object Bench {
   }
 
   private def runPipeline(spark: SparkSession, pipeline: String, inputDir: String,
-                          rows: Long, expected: Long, check: Boolean): RunResult =
+                          rows: Long, expected: Long, check: Boolean,
+                          fpt: Int): RunResult =
     pipeline match {
       // 64 files/trigger over 384 staged files = 6 micro-batches of ~6.4M
       // rows: per-batch fixed costs amortized (BASELINE.md finding 1,
       // ~0.5 s serial per warm batch vs ~10 s parallel work) for BOTH
       // pipelines — the join's state scales with batch size, so bigger
       // batches (192 → 13.1M peak state rows) GC-crush the run (round-4
-      // A/B; env knob kept for re-running that experiment)
+      // A/B; env knob kept for re-running that experiment). When the
+      // noise-adaptive scale shrinks the staged file count, the parent
+      // shrinks fpt proportionally so the batch COUNT (fixed-cost
+      // amortization) survives; batch size shrinks with it, which is the
+      // safe direction for join state.
       case "toolpair" => joinOnce(spark, inputDir,
-        sys.env.getOrElse("SPARK_GRAFT_FPT_TOOLPAIR", "64").toInt,
+        sys.env.get("SPARK_GRAFT_FPT_TOOLPAIR").map(_.toInt).getOrElse(fpt),
         rows, expected, check)
-      case _ => streamOnce(spark, inputDir, 64, rows, check)
+      case _ => streamOnce(spark, inputDir, fpt, rows, check)
     }
 
   /** Child mode: optional unmeasured JIT warm-up over a small staged subset
@@ -224,20 +229,20 @@ object Bench {
     * shared box cannot depress every sample of one level.
     */
   def childMain(args: Array[String]): Unit = {
-    val Array(cores, inputDir, rows, pipeline, expected, rounds, warmupDir) = args
+    val Array(cores, inputDir, rows, pipeline, expected, rounds, warmupDir, fpt) = args
     val spark = newSession(cores.toInt)
     try {
       if (warmupDir != "-")
         // warm-up failures are diagnostic, never fatal: the measured rounds
         // still run (slightly cold), which beats a dead window
-        try runPipeline(spark, pipeline, warmupDir, 0L, 0L, check = false)
+        try runPipeline(spark, pipeline, warmupDir, 0L, 0L, check = false, fpt.toInt)
         catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"GRAFT_WARMUP_FAIL cores=$cores: ${e.getMessage}")
         }
       val results = (1 to rounds.toInt).flatMap { i =>
         try Some(runPipeline(spark, pipeline, inputDir, rows.toLong,
-          expected.toLong, check = true))
+          expected.toLong, check = true, fpt.toInt))
         catch {
           // NonFatal only: an OOM/JVM error means a damaged JVM whose other
           // round would be garbage — let it kill the child (the parent
@@ -295,7 +300,8 @@ object Bench {
   /** Returns (best-round result, whole-window child-JVM CPU seconds). */
   private def runPinned(cores: Int, inputDir: String, rows: Long,
                         pipeline: String, expected: Long,
-                        rounds: Int, warmupDir: String): (RunResult, Double) = {
+                        rounds: Int, warmupDir: String,
+                        fpt: Int): (RunResult, Double) = {
     import scala.jdk.CollectionConverters._
     // stale checkpoints/shuffle dirs from the previous level occupy tmpfs RAM
     Seq("/dev/shm/spark-local", "/dev/shm").foreach { d =>
@@ -317,7 +323,7 @@ object Bench {
       sys.props.getOrElse("java.home", "/usr") + "/bin/java",
       "-Xmx12g", "-Xmn8g", "-XX:+UseParallelGC") ++ jvmArgs ++
       Seq("-cp", cp, "graft.Bench", "child", cores.toString, inputDir, rows.toString,
-        pipeline, expected.toString, rounds.toString, warmupDir)
+        pipeline, expected.toString, rounds.toString, warmupDir, fpt.toString)
     val out = new StringBuilder
     // rolling tail of everything the child prints: without it a dead child
     // leaves zero diagnostic signal in the driver artifact (round-2 lesson)
@@ -345,8 +351,56 @@ object Bench {
   private final case class Win(pipeline: String, cores: Int, rounds: Int,
                                warmup: Boolean, estSec: Double, required: Boolean)
 
+  /** Single-requester DRAM-bandwidth probe (child mode, pinned to one core
+    * by the parent's `taskset`): one load per cache line over a 384 MB
+    * array, timed ~2.5 s, printing GB/s. This measures the exact resource
+    * the diagnosed co-tenant crush steals (BASELINE.md round-5 run 2:
+    * per-core pure-CPU loops stay uniform while a pinned 1-core pipeline
+    * child runs 2-3.5× slow — DRAM bandwidth shares are per-REQUESTER, so
+    * one thread of ours against a saturating neighbor is starved while
+    * 4-8 threads claw back a fair share). A 32-core-wide probe is
+    * structurally blind to this: the round-5 kill happened with the wide
+    * queries probe reading 1.00 while the 1-core join child ran 3.5× slow.
+    */
+  def bwProbeMain(): Unit = {
+    val n = 48 << 20 // 48M longs = 384 MB, far past any LLC
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i; i += 1 }
+    var sum = 0L
+    var passes = 0
+    val t0 = System.nanoTime()
+    while (System.nanoTime() - t0 < 2500000000L) {
+      var j = 0
+      while (j < n) { sum += a(j); j += 8 } // stride 64 B: one load per line
+      passes += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    // scalastyle:off println
+    println(f"GRAFT_BW ${passes.toDouble * n * 8 / sec / 1e9}%.2f $sum%d")
+    // scalastyle:on println
+  }
+
+  /** Run the pinned 1-core bandwidth probe in a child JVM (~4 s total) and
+    * return measured GB/s; probe failure degrades to -1 (caller treats as
+    * "no signal", ratio 1).
+    */
+  private def bwProbe(): Double =
+    try {
+      import scala.jdk.CollectionConverters._
+      val cmd = Seq("taskset", "-c", "0",
+        sys.props.getOrElse("java.home", "/usr") + "/bin/java", "-Xmx2g",
+        "-cp", System.getProperty("java.class.path"), "graft.Bench", "bwprobe")
+      val proc = new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+        .find(_.startsWith("GRAFT_BW"))
+      proc.waitFor()
+      out.map(_.split("\\s+")(1).toDouble).getOrElse(-1.0)
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("child")) { childMain(args.tail); return }
+    if (args.headOption.contains("bwprobe")) { bwProbeMain(); return }
     val tStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
     // wall budget for the WHOLE main (seconds): the round-4 schedule ran
@@ -357,13 +411,29 @@ object Bench {
     // leaving room for the noisy 4N levels' re-sampling windows even when a
     // noisy-neighbor period slows every phase ~20% (observed round 5, run 2)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1500").toDouble
+    // live trace file: the final JSON only exists if the main survives to
+    // the end — when the driver (or any wrapper) kills an overrunning run,
+    // stdout buffered inside sbt is lost with it, leaving rc=124 and zero
+    // diagnostics (round-4 artifact; repeated with a round-5 local run
+    // under a 30-min wrapper). Appending each phase as it completes makes
+    // a killed run diagnosable from disk.
+    val tracePath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TRACE", "/tmp/graft_bench_trace.jsonl")
+    def trace(line: String): Unit =
+      try {
+        val fw = new java.io.FileWriter(tracePath, true)
+        try fw.write(line + "\n") finally fw.close()
+      } catch { case _: Throwable => () }
     val phases = ArrayBuffer.empty[(String, Double)]
     def phase[A](name: String)(f: => A): A = {
       val t = System.nanoTime()
       val r = f
-      phases += name -> (System.nanoTime() - t) / 1e9
+      val sec = (System.nanoTime() - t) / 1e9
+      phases += name -> sec
+      trace(f"""{"phase":"$name","sec":$sec%.1f,"elapsed":$elapsedSec%.1f}""")
       r
     }
+    trace(f"""{"bench":"start","budget_sec":$budgetSec%.0f}""")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "384").toInt
@@ -388,6 +458,30 @@ object Bench {
       }
     }
 
+    // ---- noise probe → input scale. Sustained co-tenant pressure slows
+    //      every phase together (round-5 runs 1-2: ~1.7× nominal across
+    //      queries, staging, and windows; a later run measured ~2×), and
+    //      REQUIRED windows cannot be trimmed below one round — on a slow
+    //      enough box the required schedule alone blows the budget and the
+    //      driver kills an artifact-less run. The one lever that shrinks
+    //      required cost without touching the measurement basis is the
+    //      INPUT: both levels of a scaling pair always stream the same
+    //      staged files, so halving the staged rows halves every window's
+    //      wall while leaving rows/sec and the N→4N ratio semantics
+    //      untouched (minor absolute depression from amortizing stream
+    //      startup over fewer batches — recorded via input_scale in the
+    //      artifact). The queries phase doubles as the probe: it runs the
+    //      same stack (scan/shuffle/codegen) at full width, and its quiet-
+    //      box wall is stable (~1.1 s/query, BENCH_r03) — wall materially
+    //      above nominal means the box is slow NOW, before staging commits
+    //      to an input size. ----
+    val queriesSec = phases.find(_._1 == "queries").map(_._2).getOrElse(0.0)
+    val qNominal = sys.env.getOrElse("SPARK_GRAFT_BENCH_QNOM", "75").toDouble
+    val noiseFactor = math.max(1.0, queriesSec / qNominal)
+    val inputScale = if (noiseFactor > 2.2) 4 else if (noiseFactor > 1.3) 2 else 1
+    val effReplicate = math.max(1, replicate / inputScale)
+    trace(f"""{"noise_factor":$noiseFactor%.2f,"input_scale":$inputScale}""")
+
     // ---- stage the streaming input once: transcript × replicate, with
     //      session-compressed event time (a conversation lives minutes, not
     //      the month the raw events span) and files range-ordered by ts so
@@ -396,13 +490,13 @@ object Bench {
     // each run stages ~500 MB under /tmp and a killed JVM never cleans up
     Option(new java.io.File(System.getProperty("java.io.tmpdir")).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => Seq("bench_turns", "bench_join", "bench_warmup")
+      .filter(f => Seq("bench_turns", "bench_join", "bench_rep", "bench_warmup")
         .exists(f.getName.startsWith))
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     val inputDir = Files.createTempDirectory("bench_turns").toString
-    val (totalRows, joinDir, joinRows, joinPairs, warmupDir) = phase("staging") {
+    val (totalRows, prefixRows, warmupDir) = phase("staging") {
       val base = graft.source.Transcript.fromEvents(spark, sfDir)
-      val reps = spark.range(replicate).select(col("id").as("rep"))
+      val reps = spark.range(effReplicate).select(col("id").as("rep"))
       val amplified = base.crossJoin(reps).select(
         concat(col("conv_id"), lit("_"), col("rep")).as("conv_id"),
         col("turn_idx"), col("role"), col("text"), col("tool"),
@@ -418,26 +512,17 @@ object Bench {
       // NAMES follow the range-partition order, so restamping mtimes strictly
       // increasing in path order makes arrival order = event-time order.
       restampInPathOrder(inputDir)
-      val rows = spark.read.parquet(inputDir).count()
-      // The join pipeline runs on the first HALF of the staged stream (an
-      // event-time prefix — watermark semantics identical, same 6.4M-row
-      // micro-batches at FPT=64, just 3 of them instead of 6): the join
-      // moves several× more bytes per input turn than repair, and its
-      // 1-core window alone cost 811 s on a noisy box (round-5 run 1) —
-      // throughput is rows/SECOND and both ratio levels use the same
-      // input, so halving the stream halves the window wall without
-      // touching the measurement basis.
-      val jDir = stageSubset(inputDir, nFiles / 2, "bench_join")
-      val jStaged = spark.read.parquet(jDir)
-      val jRows = jStaged.count()
-      // the stream-stream join's correctness bar: the batch all-pairs join on
-      // the SAME staged input — the streaming inner join must emit exactly
-      // this multiset for in-order, in-watermark data
-      val jPairs = ToolPair.batchPairs(jStaged).count()
+      // row counts for every event-time PREFIX a later scale decision can
+      // pick (parquet footer metadata — cheap). The repair pair's input
+      // scale is decided AFTER the toolpair pair runs (with a fresh noise
+      // probe), when this parent Spark session is already gone.
+      val files = Option(new java.io.File(inputDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
+      val pRows = Seq(nFiles, nFiles / 2, nFiles / 4, nFiles / 8, nFiles / 16)
+        .map(n => n -> spark.read.parquet(files.take(n).toIndexedSeq: _*).count()).toMap
       // ~2% of the stream, enough to JIT-compile both pipelines' hot loops
-      (rows, jDir, jRows, jPairs, stageSubset(inputDir, 8, "bench_warmup"))
+      (pRows(nFiles), pRows, stageSubset(inputDir, 8, "bench_warmup"))
     }
-    spark.stop()
 
     // ---- identical streaming jobs at taskset-pinned core counts for BOTH
     //      north-rule stateful pipelines (fMGWS order repair + stream-stream
@@ -485,6 +570,79 @@ object Bench {
       Win("toolpair", 4, rounds = 1, warmup = false, estSec = 100, required = false),
       Win("repair", 8, rounds = 1, warmup = false, estSec = 55, required = false),
       Win("toolpair", 4, rounds = 1, warmup = false, estSec = 100, required = false))
+
+    // ---- noise-adaptive per-pair input scale ----
+    // The wide queries probe is structurally blind to the co-tenant DRAM
+    // crush that hits low-core pinned children (round-5 run 5: wide probe
+    // read 1.00 while the 1-core join child ran 3.5× slow — 886 s — and
+    // the run was killed past its wrapper's budget; mechanism diagnosed in
+    // BASELINE.md round-5 run 2: bandwidth shares are per-requester).
+    // Before each pair commits to an input, a pinned 1-core bandwidth
+    // probe measures single-requester GB/s; the pair's file-count scale is
+    // the smallest in {1,2,4,8} whose noise-corrected cost projection fits
+    // the remaining budget. Both levels of a pair always stream the SAME
+    // files, so the N→4N ratio basis is untouched — only the wall shrinks.
+    // The pipeline crush factor is ≤ the pure-bandwidth crush factor (the
+    // pipelines are partly compute-bound), so using the bw ratio as the
+    // planning noise over-estimates cost — the safe direction: it can only
+    // shrink the input more than strictly needed, never overrun.
+    val startupSec = 20.0
+    // quiet-box single-requester GB/s for this probe (measured: 8.2-8.5
+    // repeated over a quiet hour; the crush regime reads a small fraction
+    // of this). Ratios below 1 clamp to 1 — a faster-than-nominal box
+    // never inflates the schedule.
+    val bwNom = sys.env.getOrElse("SPARK_GRAFT_BENCH_BWNOM", "8.5").toDouble
+    val bwSamples = ArrayBuffer.empty[Double]
+    def narrowNoise(): Double = {
+      val bw = bwProbe()
+      bwSamples += bw
+      val r = if (bw > 0 && bwNom > 0) math.max(1.0, bwNom / bw) else 1.0
+      val n = math.max(noiseFactor, r)
+      trace(f"""{"bw_gbs":$bw%.2f,"narrow_noise":$n%.2f}""")
+      n
+    }
+    val planNoise = mutable.Map.empty[String, Double].withDefaultValue(1.0)
+    val scaleOf = mutable.Map.empty[String, Int].withDefaultValue(1)
+    def pairCost(wins: Seq[Win], noise: Double, scale: Int): Double =
+      wins.map(w => startupSec +
+        (w.estSec - startupSec) * noise / (inputScale.toDouble * scale)).sum
+    def pickScale(p: String, wins: Seq[Win], noise: Double, reserve: Double): Int = {
+      planNoise(p) = noise
+      val s = Seq(1, 2, 4, 8).find(s =>
+        elapsedSec + pairCost(wins, noise, s) <= budgetSec - reserve - 60)
+        .getOrElse(8)
+      scaleOf(p) = s
+      trace(s"""{"pair":"$p","scale":$s}""")
+      s
+    }
+    val tpWins = requiredWins.filter(_.pipeline == "toolpair")
+    val repWins = requiredWins.filter(_.pipeline == "repair")
+    // the toolpair pair runs first; reserve the repair pair's scale-4 cost
+    // so the join cannot eat the whole remaining budget
+    val tpNoise = narrowNoise()
+    val tpScale = pickScale("toolpair", tpWins, tpNoise,
+      reserve = pairCost(repWins, tpNoise, 4))
+    // The join pipeline streams an event-time PREFIX of the staged input
+    // (base: the first half — the join moves several× more bytes per input
+    // turn than repair; round-5 run 1's 1-core FULL-input window cost 811 s
+    // on a noisy box), further divided by the pair's scale. Watermark
+    // semantics are identical on a prefix.
+    val joinFiles = math.max(nFiles / 16, nFiles / 2 / tpScale)
+    val joinDir = stageSubset(inputDir, joinFiles, "bench_join")
+    val joinRows = prefixRows(joinFiles)
+    // the stream-stream join's correctness bar: the batch all-pairs join on
+    // the SAME staged input — the streaming inner join must emit exactly
+    // this multiset for in-order, in-watermark data
+    val joinPairs = phase("joinstage") {
+      ToolPair.batchPairs(spark.read.parquet(joinDir)).count()
+    }
+    spark.stop()
+    // per-pipeline window inputs: dir, row count, expected pairs, fpt.
+    // fpt shrinks with the file count so the micro-batch COUNT (fixed-cost
+    // amortization) survives scaling; batch SIZE shrinks with it, the safe
+    // direction for join state (round-4 A/B: bigger batches GC-crush).
+    val pipeIn = mutable.Map[String, (String, Long, Long, Int)](
+      "toolpair" -> ((joinDir, joinRows, joinPairs, math.max(8, 64 / tpScale))))
     // Children are pinned to cores 0..N-1, but THIS parent JVM (sbt + the
     // stdout-reader) is not — and its background threads were measured
     // stealing up to ~20% of core 0, which depresses the low-core baselines
@@ -507,7 +665,6 @@ object Bench {
     // startup, over the window's round count) — windows of different round
     // counts share one machine-honest cost model
     val perRound = mutable.Map.empty[(String, Int), Double]
-    val startupSec = 20.0
     val winIdx = mutable.Map.empty[(String, Int), Int]
     val skipped = ArrayBuffer.empty[String]
     def runWindow(w: Win): Unit = {
@@ -518,8 +675,13 @@ object Bench {
       // plan with the cell's measured per-round wall once it has one
       // (machine-honest), the static estimate before that; 60 s admission
       // margin so a window admitted at the wire cannot blow far past budget
+      // static estimates are quiet-box full-input walls — correct them by
+      // the probe's noise factor and the staged input scale until the cell
+      // has a measured per-round wall to plan with
       val est = perRound.get(cell)
-        .map(pr => pr * w.rounds + startupSec).getOrElse(w.estSec)
+        .map(pr => pr * w.rounds + startupSec)
+        .getOrElse(startupSec + (w.estSec - startupSec) *
+          planNoise(w.pipeline) / (inputScale.toDouble * scaleOf(w.pipeline)))
       if (!w.required && elapsedSec + est > budgetSec - 60) skipped += winName
       else {
         // a sustained-noise box (every wall ~1.5-2x the estimate — observed
@@ -533,11 +695,9 @@ object Bench {
             skipped += s"$winName-downgraded-to-1-round"; 1
           } else w.rounds
         val (r, cpu) = phase(winName) {
-          val (dir, rows, exp) =
-            if (w.pipeline == "toolpair") (joinDir, joinRows, joinPairs)
-            else (inputDir, totalRows, 0L)
+          val (dir, rows, exp, fpt) = pipeIn(w.pipeline)
           runPinned(w.cores, dir, rows, w.pipeline, exp,
-            rounds, if (w.warmup) warmupDir else "-")
+            rounds, if (w.warmup) warmupDir else "-", fpt)
         }
         perRound(cell) = math.max(1.0, phases.last._2 - startupSec) / rounds
         best(cell) = best.get(cell) match {
@@ -546,7 +706,17 @@ object Bench {
         }
       }
     }
-    requiredWins.foreach(runWindow)
+    tpWins.foreach(runWindow)
+    // repair pair scale decided with a FRESH probe — the crush comes and
+    // goes on ~10-minute timescales (BASELINE.md round-5 runs), and the
+    // toolpair pair may have consumed most of the budget under it
+    val repScale = pickScale("repair", repWins, narrowNoise(), reserve = 0.0)
+    val repFiles = math.max(nFiles / 16, nFiles / repScale)
+    val repairDir =
+      if (repScale == 1) inputDir else stageSubset(inputDir, repFiles, "bench_rep")
+    val repairRows = prefixRows(repFiles)
+    pipeIn("repair") = ((repairDir, repairRows, 0L, math.max(8, 64 / repScale)))
+    repWins.foreach(runWindow)
     // ---- adaptive ratio repair: a noise burst covering exactly ONE level
     //      of a pair yields an implausible ratio (observed round-5 run 1:
     //      repair 2→8 = 1.50 after a burst crushed only the 2-core window,
@@ -571,11 +741,9 @@ object Bench {
         val i = winIdx.getOrElse(cell, 0) + 1
         winIdx(cell) = i
         val (r, cpu) = phase(s"$p@$cores#$i-ratio-repair") {
-          val (dir, rows, exp) =
-            if (p == "toolpair") (joinDir, joinRows, joinPairs)
-            else (inputDir, totalRows, 0L)
+          val (dir, rows, exp, fpt) = pipeIn(p)
           // 1-round re-sample, JIT-warmed like every other 1-round window
-          runPinned(cores, dir, rows, p, exp, 1, warmupDir)
+          runPinned(cores, dir, rows, p, exp, 1, warmupDir, fpt)
         }
         perRound(cell) = math.max(1.0, phases.last._2 - startupSec)
         if (r._3 < best(cell)._3) { best(cell) = r; cpuOf(cell) = cpu }
@@ -619,7 +787,7 @@ object Bench {
       .mkString("{", ",", "}")
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val streaming =
-      f"""{"input_turns":$totalRows,""" +
+      f"""{"input_turns":$repairRows,"staged_turns":$totalRows,""" +
         f""""throughput_2":${thr2}%.1f,"throughput_8":${thr8}%.1f,"throughput_32":${thr32}%.1f,""" +
         f""""p95_batch_ms_2":${p952}%.1f,"p95_batch_ms_8":${p958}%.1f,"p95_batch_ms_32":${p9532}%.1f,""" +
         f""""wall_sec_2":${sec2}%.2f,"wall_sec_8":${sec8}%.2f,"wall_sec_32":${sec32}%.2f,""" +
@@ -638,6 +806,9 @@ object Bench {
         f""""scaling_efficiency_1_to_4":${jeff1to4}%.3f,"scaling_efficiency_4_to_32":${jeff4to32}%.3f,""" +
         f""""scaling_efficiency":${jeff1to4}%.3f,""" +
         """"note":"stream-stream tool-call/response inner join (watermarked both sides, range-bounded state); throughput = INPUT turns/sec over the first half (event-time prefix, same 6.4M-row micro-batches) of the repair pipeline's staged stream; emitted-pairs count verified equal to the batch all-pairs join every round; N-to-4N pair is 1-to-4 cores - the pair where both levels stay under the shared single-box memory-bandwidth ceiling this state-heavy join hits at 8 pinned cores (+40 pct per-core CPU inflation, see BASELINE.md round 4); the informational 32-core window is env-opt-in (SPARK_GRAFT_BENCH_JOIN_TOP=1), -1 = not run"}"""
-    println(s"""{"metric":"streaming turns/sec @ 32 cores","value":${f"$thr32%.1f"},"unit":"turns/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"query_errors":$qerrs,"streaming":$streaming,"streaming_toolpair":$streamingJoin,"budget_sec":${f"$budgetSec%.0f"},"wall_sec":${f"$elapsedSec%.1f"},"phases":$phasesJson,"phases_skipped":$skippedJson,"ratio_suspect":$ratioSuspect,"sf":"$sfDir"}""")
+    val jsonLine =
+      s"""{"metric":"streaming turns/sec @ 32 cores","value":${f"$thr32%.1f"},"unit":"turns/sec","total_query_sec":${f"$total%.3f"},"queries":$qs,"query_errors":$qerrs,"streaming":$streaming,"streaming_toolpair":$streamingJoin,"budget_sec":${f"$budgetSec%.0f"},"wall_sec":${f"$elapsedSec%.1f"},"noise_factor":${f"$noiseFactor%.2f"},"input_scale":$inputScale,"toolpair_scale":$tpScale,"repair_scale":$repScale,"bw_gbs":${bwSamples.map(b => f"$b%.2f").mkString("[", ",", "]")},"phases":$phasesJson,"phases_skipped":$skippedJson,"ratio_suspect":$ratioSuspect,"sf":"$sfDir"}"""
+    trace(jsonLine)
+    println(jsonLine)
   }
 }
