@@ -240,9 +240,22 @@ object Bench {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"GRAFT_WARMUP_FAIL cores=$cores: ${e.getMessage}")
         }
+      // per-ROUND process-CPU seconds, sampled around each measured round:
+      // cpu/rows across parallelism levels distinguishes DRAM contention
+      // (per-row cpu inflates with cores or under a bandwidth-hungry
+      // neighbor) from hypervisor steal (cpu flat, wall inflates — steal
+      // time is never charged to the process) from a serial bottleneck
+      // (cpu flat at every level). Per-round, not whole-window, so the
+      // number is comparable across windows with different round counts.
+      def procCpu: Double =
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+          case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+          case _ => -1.0
+        }
       val results = (1 to rounds.toInt).flatMap { i =>
-        try Some(runPipeline(spark, pipeline, inputDir, rows.toLong,
-          expected.toLong, check = true, fpt.toInt))
+        val c0 = procCpu
+        try Some((runPipeline(spark, pipeline, inputDir, rows.toLong,
+          expected.toLong, check = true, fpt.toInt), procCpu - c0))
         catch {
           // NonFatal only: an OOM/JVM error means a damaged JVM whose other
           // round would be garbage — let it kill the child (the parent
@@ -255,16 +268,7 @@ object Bench {
         }
       }
       require(results.nonEmpty, s"all $rounds round(s) failed at $cores cores")
-      val best = results.minBy(_._3)
-      // whole-JVM CPU seconds (warmup + every round): cpu/rows across
-      // parallelism levels distinguishes DRAM contention (per-row cpu
-      // inflates with cores or under a noisy neighbor) from a serial
-      // bottleneck (cpu flat, wall inflates) — the audit BASELINE.md
-      // round 4 ran by hand with bash time, now carried in the artifact
-      val cpuSec = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
-        case _ => -1.0
-      }
+      val (best, cpuSec) = results.minBy(_._1._3)
       // scalastyle:off println
       println(f"GRAFT_RESULT ${best._1}%.1f ${best._2}%.1f ${best._3}%.2f ${best._4}%d $cpuSec%.1f")
       // scalastyle:on println
@@ -494,7 +498,7 @@ object Bench {
         .exists(f.getName.startsWith))
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     val inputDir = Files.createTempDirectory("bench_turns").toString
-    val (totalRows, prefixRows, warmupDir) = phase("staging") {
+    val (totalRows, prefixRows, prefixPairs, warmupDir) = phase("staging") {
       val base = graft.source.Transcript.fromEvents(spark, sfDir)
       val reps = spark.range(effReplicate).select(col("id").as("rep"))
       val amplified = base.crossJoin(reps).select(
@@ -513,15 +517,23 @@ object Bench {
       // increasing in path order makes arrival order = event-time order.
       restampInPathOrder(inputDir)
       // row counts for every event-time PREFIX a later scale decision can
-      // pick (parquet footer metadata — cheap). The repair pair's input
-      // scale is decided AFTER the toolpair pair runs (with a fresh noise
-      // probe), when this parent Spark session is already gone.
+      // pick (parquet footer metadata — cheap), and the stream-stream
+      // join's correctness bar — the batch all-pairs count the streaming
+      // inner join must emit exactly — for every candidate join prefix.
+      // Both pairs' input scales are decided AFTER this parent Spark
+      // session is gone (the toolpair decision waits for the repair pair's
+      // measured walls), so everything session-dependent is precomputed
+      // here: one batchPairs count per candidate costs a few seconds each
+      // at sf0.1 and buys a session-free decision later.
       val files = Option(new java.io.File(inputDir).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
-      val pRows = Seq(nFiles, nFiles / 2, nFiles / 4, nFiles / 8, nFiles / 16)
+      val pRows = Seq(nFiles, nFiles / 2, nFiles / 4, nFiles / 8, nFiles / 16, 8)
         .map(n => n -> spark.read.parquet(files.take(n).toIndexedSeq: _*).count()).toMap
+      val pPairs = Seq(nFiles / 2, nFiles / 4, nFiles / 8, nFiles / 16)
+        .map(n => n -> ToolPair.batchPairs(
+          spark.read.parquet(files.take(n).toIndexedSeq: _*)).count()).toMap
       // ~2% of the stream, enough to JIT-compile both pipelines' hot loops
-      (pRows(nFiles), pRows, stageSubset(inputDir, 8, "bench_warmup"))
+      (pRows(nFiles), pRows, pPairs, stageSubset(inputDir, 8, "bench_warmup"))
     }
 
     // ---- identical streaming jobs at taskset-pinned core counts for BOTH
@@ -572,20 +584,23 @@ object Bench {
       Win("toolpair", 4, rounds = 1, warmup = false, estSec = 100, required = false))
 
     // ---- noise-adaptive per-pair input scale ----
-    // The wide queries probe is structurally blind to the co-tenant DRAM
-    // crush that hits low-core pinned children (round-5 run 5: wide probe
-    // read 1.00 while the 1-core join child ran 3.5× slow — 886 s — and
-    // the run was killed past its wrapper's budget; mechanism diagnosed in
-    // BASELINE.md round-5 run 2: bandwidth shares are per-requester).
-    // Before each pair commits to an input, a pinned 1-core bandwidth
-    // probe measures single-requester GB/s; the pair's file-count scale is
-    // the smallest in {1,2,4,8} whose noise-corrected cost projection fits
-    // the remaining budget. Both levels of a pair always stream the SAME
+    // The wide queries probe is structurally blind to the co-tenant crush
+    // that hits low-core pinned children (round-5 run 5: wide probe read
+    // 1.00 while the 1-core join child ran 3.5× slow — 886 s — and the
+    // run was killed past its wrapper's budget). Before each pair commits
+    // to an input, the planning noise is the MAX of every signal cheap
+    // enough to take at that moment — the wide probe, a pinned 1-core
+    // bandwidth probe (sees the per-requester DRAM-share crush of round-5
+    // run 2), the 1-core pipeline mini-probe (sees the steal/sys-inflation
+    // regime both other probes miss), and, for the second pair, the first
+    // pair's measured walls — and the pair's file-count scale is the
+    // smallest in {1,2,4,8} whose noise-corrected cost projection fits the
+    // remaining budget. Both levels of a pair always stream the SAME
     // files, so the N→4N ratio basis is untouched — only the wall shrinks.
-    // The pipeline crush factor is ≤ the pure-bandwidth crush factor (the
-    // pipelines are partly compute-bound), so using the bw ratio as the
-    // planning noise over-estimates cost — the safe direction: it can only
-    // shrink the input more than strictly needed, never overrun.
+    // Probe crush factors can exceed the pipelines' (partly compute-bound)
+    // crush, so planning with them over-estimates cost — the safe
+    // direction: it can only shrink the input more than strictly needed,
+    // never overrun.
     val startupSec = 20.0
     // quiet-box single-requester GB/s for this probe (measured: 8.2-8.5
     // repeated over a quiet hour; the crush regime reads a small fraction
@@ -617,32 +632,13 @@ object Bench {
     }
     val tpWins = requiredWins.filter(_.pipeline == "toolpair")
     val repWins = requiredWins.filter(_.pipeline == "repair")
-    // the toolpair pair runs first; reserve the repair pair's scale-4 cost
-    // so the join cannot eat the whole remaining budget
-    val tpNoise = narrowNoise()
-    val tpScale = pickScale("toolpair", tpWins, tpNoise,
-      reserve = pairCost(repWins, tpNoise, 4))
-    // The join pipeline streams an event-time PREFIX of the staged input
-    // (base: the first half — the join moves several× more bytes per input
-    // turn than repair; round-5 run 1's 1-core FULL-input window cost 811 s
-    // on a noisy box), further divided by the pair's scale. Watermark
-    // semantics are identical on a prefix.
-    val joinFiles = math.max(nFiles / 16, nFiles / 2 / tpScale)
-    val joinDir = stageSubset(inputDir, joinFiles, "bench_join")
-    val joinRows = prefixRows(joinFiles)
-    // the stream-stream join's correctness bar: the batch all-pairs join on
-    // the SAME staged input — the streaming inner join must emit exactly
-    // this multiset for in-order, in-watermark data
-    val joinPairs = phase("joinstage") {
-      ToolPair.batchPairs(spark.read.parquet(joinDir)).count()
-    }
     spark.stop()
-    // per-pipeline window inputs: dir, row count, expected pairs, fpt.
+    // per-pipeline window inputs: dir, row count, expected pairs, fpt —
+    // set just before each pair runs, by that pair's scale decision.
     // fpt shrinks with the file count so the micro-batch COUNT (fixed-cost
     // amortization) survives scaling; batch SIZE shrinks with it, the safe
     // direction for join state (round-4 A/B: bigger batches GC-crush).
-    val pipeIn = mutable.Map[String, (String, Long, Long, Int)](
-      "toolpair" -> ((joinDir, joinRows, joinPairs, math.max(8, 64 / tpScale))))
+    val pipeIn = mutable.Map.empty[String, (String, Long, Long, Int)]
     // Children are pinned to cores 0..N-1, but THIS parent JVM (sbt + the
     // stdout-reader) is not — and its background threads were measured
     // stealing up to ~20% of core 0, which depresses the low-core baselines
@@ -657,9 +653,13 @@ object Bench {
         .redirectError(ProcessBuilder.Redirect.DISCARD).start().waitFor()
     }
     val best = mutable.Map.empty[(String, Int), RunResult]
-    // child-JVM CPU seconds of the window that produced each cell's kept
-    // best (whole window: warmup + all rounds) — cpu/rows across levels is
-    // the bandwidth-contention diagnostic
+    // child-JVM CPU seconds of the ROUND that produced each cell's kept
+    // best — per-round, so comparable across levels and window shapes.
+    // cpu/rows across levels separates DRAM contention (cpu inflates)
+    // from hypervisor steal (cpu flat, wall inflates — steal is never
+    // charged to the process) from a serial bottleneck (cpu flat
+    // everywhere); the cpu-based efficiency ships in the JSON as the
+    // steal-immune cross-check of a suspect wall ratio.
     val cpuOf = mutable.Map.empty[(String, Int), Double]
     // measured per-ROUND wall per cell (window wall minus ~20 s JVM/session
     // startup, over the window's round count) — windows of different round
@@ -706,17 +706,64 @@ object Bench {
         }
       }
     }
-    tpWins.foreach(runWindow)
-    // repair pair scale decided with a FRESH probe — the crush comes and
-    // goes on ~10-minute timescales (BASELINE.md round-5 runs), and the
-    // toolpair pair may have consumed most of the budget under it
-    val repScale = pickScale("repair", repWins, narrowNoise(), reserve = 0.0)
+    // ---- pipeline mini-probe. One crush regime (observed live this round)
+    // is ~17% hypervisor steal with kernel-dominated time — sys 2-3× user
+    // on the pinned cores — which BOTH the wide queries probe and the
+    // user-space bandwidth loop read as quiet (bw 11.6-12.2 GB/s while a
+    // pinned 1-core join child ran 3.5× its quiet wall). The only probe
+    // that experiences what a measured window will experience is the
+    // pipeline itself: one 1-core child streaming the ~2% warmup subset
+    // (~45 s quiet including JVM startup). Its streaming wall against the
+    // quiet nominal is the planning noise for the first pair decision.
+    // Wall, not throughput: a 1-core cold run over ~2% of the input is
+    // dominated by fixed per-batch costs (measured quiet: 32-34 s with
+    // CPU ≈ wall), so the wall is nearly replication-independent while
+    // throughput is not. ----
+    val miniNomSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MININOM", "32.0").toDouble
+    val miniNoise = phase("miniprobe") {
+      try {
+        val (r, _) = runPinned(1, warmupDir, prefixRows(8), "repair", 0L, 1, "-", 64)
+        math.max(1.0, r._3 / miniNomSec)
+      } catch { case scala.util.control.NonFatal(_) => 1.0 }
+    }
+    trace(f"""{"mini_noise":$miniNoise%.2f}""")
+
+    // ---- repair pair first: its windows are 3-5× cheaper than the join's,
+    // so a wrong scale decision costs less, and its measured walls become
+    // in-situ pipeline-noise evidence for the expensive toolpair decision.
+    // Reserve the toolpair pair's scale-4 cost so repair cannot eat the
+    // whole remaining budget. ----
+    val repNoise = math.max(narrowNoise(), miniNoise)
+    val repScale = pickScale("repair", repWins, repNoise,
+      reserve = pairCost(tpWins, repNoise, 4))
     val repFiles = math.max(nFiles / 16, nFiles / repScale)
     val repairDir =
       if (repScale == 1) inputDir else stageSubset(inputDir, repFiles, "bench_rep")
     val repairRows = prefixRows(repFiles)
     pipeIn("repair") = ((repairDir, repairRows, 0L, math.max(8, 64 / repScale)))
     repWins.foreach(runWindow)
+
+    // ---- toolpair pair second, informed by what the repair pair actually
+    // cost: the 2-core cell's measured per-round wall over its quiet
+    // nominal (scale-normalized) is a minutes-long pipeline-unit noise
+    // sample — far more predictive under bursty steal than any short
+    // probe. The join streams an event-time PREFIX of the staged input
+    // (base: the first half — the join moves several× more bytes per input
+    // turn than repair; round-5 run 1's 1-core FULL-input window cost
+    // 811 s on a noisy box), further divided by the pair's scale.
+    // Watermark semantics are identical on a prefix; expected_pairs was
+    // precomputed per candidate prefix at staging. ----
+    val repNomSec = repWins.find(_.cores == 2).map(_.estSec - startupSec).getOrElse(115.0)
+    val repMeasuredNoise = perRound.get(("repair", 2))
+      .map(pr => pr * inputScale * scaleOf("repair") / repNomSec).getOrElse(1.0)
+    val tpNoise = Seq(narrowNoise(), miniNoise, repMeasuredNoise).max
+    val tpScale = pickScale("toolpair", tpWins, tpNoise, reserve = 0.0)
+    val joinFiles = math.max(nFiles / 16, nFiles / 2 / tpScale)
+    val joinDir = stageSubset(inputDir, joinFiles, "bench_join")
+    val joinRows = prefixRows(joinFiles)
+    val joinPairs = prefixPairs(joinFiles)
+    pipeIn("toolpair") = ((joinDir, joinRows, joinPairs, math.max(8, 64 / tpScale)))
+    tpWins.foreach(runWindow)
     // ---- adaptive ratio repair: a noise burst covering exactly ONE level
     //      of a pair yields an implausible ratio (observed round-5 run 1:
     //      repair 2→8 = 1.50 after a burst crushed only the 2-core window,
@@ -727,30 +774,40 @@ object Bench {
     //      level may be (or the bar is genuinely missed): re-sample 4N and
     //      keep the best. Same best-of-windows estimator as the static
     //      schedule, just allocated where the ratio says the noise hit. ----
-    for ((p, lo, hi) <- Seq(("toolpair", 1, 4), ("repair", 2, 8))) {
-      def eff: Double = (best((p, hi))._1 / best((p, lo))._1) / 4.0
-      def affordable(cell: (String, Int)): Boolean =
-        elapsedSec + perRound(cell) + startupSec <= budgetSec - 60
-      var extra = 0
-      while (extra < 2 &&
-             ((eff > 1.02 && affordable((p, lo))) ||
-              (eff < 0.78 && affordable((p, hi))))) {
-        extra += 1
-        val cores = if (eff > 1.02) lo else hi
-        val cell = (p, cores)
-        val i = winIdx.getOrElse(cell, 0) + 1
-        winIdx(cell) = i
-        val (r, cpu) = phase(s"$p@$cores#$i-ratio-repair") {
-          val (dir, rows, exp, fpt) = pipeIn(p)
-          // 1-round re-sample, JIT-warmed like every other 1-round window
-          runPinned(cores, dir, rows, p, exp, 1, warmupDir, fpt)
+    def ratioRepairPass(): Unit =
+      for ((p, lo, hi) <- Seq(("toolpair", 1, 4), ("repair", 2, 8))) {
+        def eff: Double = (best((p, hi))._1 / best((p, lo))._1) / 4.0
+        def affordable(cell: (String, Int)): Boolean =
+          elapsedSec + perRound(cell) + startupSec <= budgetSec - 60
+        var extra = 0
+        while (extra < 3 &&
+               ((eff > 1.02 && affordable((p, lo))) ||
+                (eff < 0.78 && affordable((p, hi))))) {
+          extra += 1
+          val cores = if (eff > 1.02) lo else hi
+          val cell = (p, cores)
+          val i = winIdx.getOrElse(cell, 0) + 1
+          winIdx(cell) = i
+          val (r, cpu) = phase(s"$p@$cores#$i-ratio-repair") {
+            val (dir, rows, exp, fpt) = pipeIn(p)
+            // 1-round re-sample, JIT-warmed like every other 1-round window
+            runPinned(cores, dir, rows, p, exp, 1, warmupDir, fpt)
+          }
+          perRound(cell) = math.max(1.0, phases.last._2 - startupSec)
+          if (r._3 < best(cell)._3) { best(cell) = r; cpuOf(cell) = cpu }
         }
-        perRound(cell) = math.max(1.0, phases.last._2 - startupSec)
-        if (r._3 < best(cell)._3) { best(cell) = r; cpuOf(cell) = cpu }
       }
-    }
+    ratioRepairPass()
     // absolute-number polish only with whatever budget the ratios left over
     optionalWins.foreach(runWindow)
+    // an optional window that improves a 4N best can push its pair's ratio
+    // back over the plausibility gate the first pass just repaired
+    // (observed: toolpair 1→4 repaired to ~1.0, then the optional @4
+    // windows lifted thr4 and the recorded ratio closed at 1.106) — the
+    // honest response is re-sampling the N level again, not suppressing
+    // the better 4N sample, so the repair pass runs once more with
+    // whatever budget remains
+    ratioRepairPass()
 
     val (thr2, p952, sec2, st2) = best(("repair", 2))
     val (thr8, p958, sec8, st8) = best(("repair", 8))
@@ -794,8 +851,9 @@ object Bench {
         s""""peak_state_rows_2":$st2,"peak_state_rows_8":$st8,"peak_state_rows_32":$st32,""" +
         f""""cpu_sec_2":${cpuOf.getOrElse(("repair", 2), -1.0)}%.1f,"cpu_sec_8":${cpuOf.getOrElse(("repair", 8), -1.0)}%.1f,"cpu_sec_32":${cpuOf.getOrElse(("repair", top), -1.0)}%.1f,""" +
         f""""scaling_efficiency_2_to_8":${eff2to8}%.3f,"scaling_efficiency_8_to_32":${eff8to32}%.3f,""" +
+        f""""cpu_efficiency_2_to_8":${cpuOf.getOrElse(("repair", 2), -1.0) / math.max(1.0, cpuOf.getOrElse(("repair", 8), -1.0))}%.3f,""" +
         f""""scaling_efficiency":${eff2to8}%.3f,""" +
-        """"note":"N-to-4N pair is 2-to-8 cores, taskset-pinned child JVMs; the stable 2-core level = one JIT-warmed round (bests repeat within 1 pct - BASELINE.md round 2), the noisy 8-core level = best over up to 2 windows x 2 rounds, windows interleaved across levels AND pipelines to decorrelate shared-VM noise, parent JVM re-pinned to the top cores so its background threads cannot depress low-core baselines; 8-to-32 saturates the single box's shared memory bandwidth, which separate executor machines would not"}"""
+        """"note":"N-to-4N pair is 2-to-8 cores, taskset-pinned child JVMs; the stable 2-core level = one JIT-warmed round (bests repeat within 1 pct - BASELINE.md round 2), the noisy 8-core level = best over up to 2 windows x 2 rounds, windows interleaved across levels AND pipelines to decorrelate shared-VM noise, parent JVM re-pinned to the top cores so its background threads cannot depress low-core baselines; 8-to-32 saturates the single box's shared memory bandwidth, which separate executor machines would not; cpu_efficiency = best-round child CPU seconds at N over 4N for the same input rows (1.0 = per-row CPU flat across levels) - a wall ratio flagged suspect while cpu_efficiency is near 1 proves the depression was external, since hypervisor steal is never charged to process CPU"}"""
     val streamingJoin =
       f"""{"input_turns":$joinRows,"expected_pairs":$joinPairs,""" +
         f""""throughput_1":${jthr1}%.1f,"throughput_4":${jthr4}%.1f,"throughput_32":${jthr32}%.1f,""" +
@@ -804,6 +862,7 @@ object Bench {
         s""""peak_state_rows_1":$jst1,"peak_state_rows_4":$jst4,"peak_state_rows_32":$jst32,""" +
         f""""cpu_sec_1":${cpuOf.getOrElse(("toolpair", 1), -1.0)}%.1f,"cpu_sec_4":${cpuOf.getOrElse(("toolpair", 4), -1.0)}%.1f,"cpu_sec_32":${cpuOf.getOrElse(("toolpair", top), -1.0)}%.1f,""" +
         f""""scaling_efficiency_1_to_4":${jeff1to4}%.3f,"scaling_efficiency_4_to_32":${jeff4to32}%.3f,""" +
+        f""""cpu_efficiency_1_to_4":${cpuOf.getOrElse(("toolpair", 1), -1.0) / math.max(1.0, cpuOf.getOrElse(("toolpair", 4), -1.0))}%.3f,""" +
         f""""scaling_efficiency":${jeff1to4}%.3f,""" +
         """"note":"stream-stream tool-call/response inner join (watermarked both sides, range-bounded state); throughput = INPUT turns/sec over the first half (event-time prefix, same 6.4M-row micro-batches) of the repair pipeline's staged stream; emitted-pairs count verified equal to the batch all-pairs join every round; N-to-4N pair is 1-to-4 cores - the pair where both levels stay under the shared single-box memory-bandwidth ceiling this state-heavy join hits at 8 pinned cores (+40 pct per-core CPU inflation, see BASELINE.md round 4); the informational 32-core window is env-opt-in (SPARK_GRAFT_BENCH_JOIN_TOP=1), -1 = not run"}"""
     val jsonLine =

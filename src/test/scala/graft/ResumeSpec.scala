@@ -93,6 +93,46 @@ class ResumeSpec extends AnyFunSuite {
       (5L, true, Some(1L)), (6L, false, None)))
   }
 
+  test("stream-stream tool-pair join state survives checkpoint restart") {
+    implicit val enc = Encoders.product[TurnPos]
+    val ckpt = Files.createTempDirectory("pair_ckpt").toString
+    val ms = MemoryStream[TurnPos](enc, spark)
+    // a Set absorbs any replayed batch on restart (foreachBatch
+    // re-delivery), so the assertion is on the CONVERGED pair multiset
+    val out = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Int)]()
+
+    def start() = graft.stream.ToolPair.streaming(ms.toDS().toDF(),
+        maxDelay = "5 MINUTES", watermark = "10 seconds", leftOuter = false)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("conv_id", "call_turn_idx", "result_turn_idx").collect()
+          .foreach(r => out.add((r.getString(0), r.getInt(1), r.getInt(2))))
+      }.start()
+
+    def t(conv: String, idx: Int, sec: Long, role: String, tool: String) =
+      TurnPos(conv, idx, role, s"t$idx", tool, ts(sec), sec)
+
+    // run 1: a tool call arrives but its result does not — the buffered
+    // call is join state that must survive the crash
+    val q1 = start()
+    ms.addData(Seq(t("a", 0, 10, "assistant", "search")))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(out.isEmpty)
+
+    // run 2 (restarted from checkpoint): the result arrives; the pair can
+    // only emit if the pre-crash call is still in the restored join state
+    val q2 = start()
+    ms.addData(Seq(t("a", 1, 20, "tool", "search"),
+                   t("b", 0, 30, "assistant", "calc"),
+                   t("b", 1, 40, "tool", "calc")))
+    q2.processAllAvailable()
+    q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(out.asScala == Set(("a", 0, 1), ("b", 0, 1)))
+  }
+
   test("session window aggregation runs as a streaming query") {
     implicit val enc = Encoders.product[TurnPos]
     val ms = MemoryStream[TurnPos](enc, spark)
