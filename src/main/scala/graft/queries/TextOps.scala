@@ -323,6 +323,41 @@ object TextOps {
       docs.select(col("doc_id"),
         regexp_count(col("text"), lit("\\S+")).as("n_ws_tokens"),
         regexp_count(col("text"), lit(bpeishPattern)).as("n_bpeish_tokens"))
+    }),
+
+    "q_curation_cascade" -> ((s, dir) => {
+      // The composition a curation pipeline actually runs: exact-dedup +
+      // language gate + quality gates folded into ONE keep/drop decision
+      // with a priority-ordered drop reason (first failing check wins, so
+      // reasons are deterministic and mutually exclusive). Physically one
+      // codegen map-side projection (8 regex counts + two 64-bit
+      // fingerprints), one 16-byte-key exchange for the canonical window —
+      // the text column never shuffles — and one decision projection. At
+      // 100 TB this costs the same single exchange as q_dedup_exact; the
+      // gates ride along for free.
+      val w = Window.partitionBy(col("__fp"), col("__fp2"))
+      val scored = langPatterns.foldLeft(
+        augDocs(s, dir).select(col("doc_id"), col("text"),
+          graft.functions.fns.fnv64(col("text")).as("__fp"),
+          xxhash64(col("text")).as("__fp2"),
+          length(col("text")).as("n_chars"),
+          regexp_count(col("text"), lit("\\S+")).as("n_tokens"),
+          regexp_count(col("text"), lit("[A-Za-z]")).as("n_alpha"),
+          regexp_count(col("text"), lit(langPatterns(1)._2)).as("n_stop"))) {
+        case (d, (lang, pat)) => d.withColumn(s"c_$lang", regexp_count(col("text"), lit(pat)))
+      }
+      scored
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .withColumn("lang_pred",
+          expr(argmaxCase(langPatterns.map { case (l, _) => (l, s"c_$l") })))
+        .withColumn("reason",
+          when(col("doc_id") =!= col("canonical_id"), "exact_dup")
+            .when(col("lang_pred") =!= "en", "lang")
+            .when(col("n_tokens") < 10, "too_short")
+            .when(col("n_alpha").cast("double") / col("n_chars") < 0.5, "low_alpha")
+            .when(col("n_stop").cast("double") / col("n_tokens") < 0.01, "low_stopword")
+            .otherwise("keep"))
+        .select(col("doc_id"), (col("reason") === "keep").as("keep"), col("reason"))
     })
   )
 
@@ -444,6 +479,35 @@ object TextOps {
       s"""SELECT doc_id,
          |  len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
          |  len(regexp_extract_all(text, '$bpeishPattern')) AS n_bpeish_tokens
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    // canonical = min doc_id per TEXT: the oracle states the logical
+    // contract the Spark side implements via the 128-bit fingerprint
+    // window (same probabilistic-collision note as q_dedup_exact)
+    "q_curation_cascade" -> withAug(
+      s""", scored AS (
+         |  SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+         |    length(text) AS n_chars,
+         |    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+         |    len(regexp_extract_all(text, '${langPatterns(1)._2}')) AS n_stop,
+         |    ${langPatterns.map { case (l, pat) =>
+               s"len(regexp_extract_all(text, '$pat')) AS c_$l" }.mkString(",\n    ")}
+         |  FROM aug
+         |), lp AS (
+         |  SELECT *, ${argmaxCase(langPatterns.map { case (l, _) => (l, s"c_$l") })} AS lang_pred
+         |  FROM scored
+         |), decided AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id <> canonical_id THEN 'exact_dup'
+         |         WHEN lang_pred <> 'en' THEN 'lang'
+         |         WHEN n_tokens < 10 THEN 'too_short'
+         |         WHEN CAST(n_alpha AS DOUBLE) / n_chars < 0.5 THEN 'low_alpha'
+         |         WHEN CAST(n_stop AS DOUBLE) / n_tokens < 0.01 THEN 'low_stopword'
+         |         ELSE 'keep' END AS reason
+         |  FROM lp
+         |)
+         |SELECT doc_id, reason = 'keep' AS keep, reason FROM decided""".stripMargin)
   )
 }

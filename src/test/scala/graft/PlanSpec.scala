@@ -112,6 +112,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lang"), s"pruning lost: scan reads unused columns:\n$p")
   }
 
+  test("q_curation_cascade: one fingerprint exchange carries all gates — text never shuffles") {
+    val p = plan("q_curation_cascade")
+    assert(p.contains("Exchange hashpartitioning(__fp"),
+      s"cascade shuffle key must be the content fingerprint:\n$p")
+    assert(!p.contains("hashpartitioning(text"),
+      s"raw document text must never be the shuffle key:\n$p")
+    // the dedup window is the only exchange: the language/quality gates are
+    // map-side regex counts that ride the same pass
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"cascade must shuffle exactly once:\n$p")
+  }
+
   test("q_unique_flag: one exchange, partitioned on the 128-bit key fingerprint") {
     val p = plan("q_unique_flag")
     // the fingerprint pair is computed map-side (Catalyst extracts window
