@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster assignment: connected components over the near-dup
@@ -88,6 +89,30 @@ object GraphOps {
       connectedComponents(docs.select(col("doc_id").as("id")), edges)
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
           (col("id") === col("comp")).as("is_canonical"))
+    }),
+
+    "q_cluster_canonical" -> ((s, dir) => {
+      // The step AFTER near-dup clustering in a real dedup pipeline: keep
+      // the BEST document of each cluster, not the arbitrary min-id one —
+      // representative = argmax by (n_tokens, doc_id) within the cluster.
+      // Scale shape: the quality score is a map-side regex count joined on
+      // (doc_id, cluster_id) 16-byte rows, then one cluster_id exchange
+      // for the argmax window — document text never shuffles, and the
+      // component labels come from the same O(log diameter) contraction
+      // as q_dedup_cluster.
+      val docs = TextOps.augDocs(s, dir)
+      val edges = TextOps.minhashNearDups(docs)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val clusters = connectedComponents(docs.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val scored = docs.select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).as("n_tokens"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      clusters.join(scored, "doc_id")
+        .withColumn("rep_id", first(col("doc_id")).over(w))
+        .select(col("doc_id"), col("cluster_id"), col("rep_id"),
+          (col("doc_id") === col("rep_id")).as("is_representative"))
     })
   )
 
@@ -116,6 +141,37 @@ object GraphOps {
          |)
          |SELECT id AS doc_id, min(comp) AS cluster_id,
          |  min(comp) = id AS is_canonical
-         |FROM cc GROUP BY id""".stripMargin
+         |FROM cc GROUP BY id""".stripMargin,
+
+    "q_cluster_canonical" ->
+      s"""WITH RECURSIVE ${TextOps.augSql},
+         |${TextOps.shingleHashesSql},
+         |${TextOps.signaturesSql},
+         |${TextOps.bandsCandSql},
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+         |            JOIN sig sb ON cand.doc_b = sb.doc_id
+         |  WHERE ${TextOps.jaccardEstSql} >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), cc(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM aug
+         |  UNION
+         |  SELECT e.src, cc.comp FROM edges e JOIN cc ON cc.id = e.dst
+         |), cl AS (
+         |  SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id
+         |), scored AS (
+         |  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM aug
+         |), ranked AS (
+         |  SELECT cl.doc_id, cl.cluster_id,
+         |    first_value(cl.doc_id) OVER (
+         |      PARTITION BY cl.cluster_id
+         |      ORDER BY s.n_tokens DESC, cl.doc_id ASC) AS rep_id
+         |  FROM cl JOIN scored s ON cl.doc_id = s.doc_id
+         |)
+         |SELECT doc_id, cluster_id, rep_id, doc_id = rep_id AS is_representative
+         |FROM ranked""".stripMargin
   )
 }

@@ -31,6 +31,44 @@ class GraphSpec extends AnyFunSuite {
     assert(cc(nodes, edges) == nodes.map(_ -> 10L).toMap)
   }
 
+  test("cluster canonical: one representative per cluster, and it is the best member") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = GraphOps.defs("q_cluster_canonical")(spark, dir).cache()
+    // exactly one representative per cluster, and rep_id is a member
+    val perCluster = out.groupBy("cluster_id")
+      .agg(sum(when(col("is_representative"), 1).otherwise(0)).as("reps"),
+        countDistinct("rep_id").as("rep_ids")).collect()
+    assert(perCluster.nonEmpty)
+    perCluster.foreach { r =>
+      assert(r.getLong(1) == 1L, s"cluster ${r.get(0)}: ${r.getLong(1)} representatives")
+      assert(r.getLong(2) == 1L, s"cluster ${r.get(0)}: rep_id not constant")
+    }
+    assert(out.as("o").join(out.as("r"),
+      col("o.rep_id") === col("r.doc_id") &&
+        col("o.cluster_id") =!= col("r.cluster_id")).isEmpty,
+      "rep_id must belong to its own cluster")
+    // the representative maximizes (n_tokens, then min doc_id) in-cluster
+    // same augmentation as the query fixture (TextOps.augDocs is
+    // package-private): base ∪ clipped %10 dups ∪ exact %7 dups
+    val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val aug = d
+      .unionByName(d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", regexp_replace(col("text"), "^\\S+ \\S+ ", "")))
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L))
+    val toks = aug
+      .select(col("doc_id"), regexp_count(col("text"), lit("\\S+")).as("n_tokens"))
+    val joined = out.join(toks, "doc_id")
+    val best = joined.groupBy("cluster_id").agg(max("n_tokens").as("max_tokens"))
+    val reps = joined.filter(col("is_representative")).as("rep")
+      .join(best, "cluster_id")
+    assert(reps.filter(col("n_tokens") =!= col("max_tokens")).isEmpty,
+      "representative must have the cluster's max token count")
+    out.unpersist()
+  }
+
   test("long path (diameter 63) converges inside maxIters — pointer jumping works") {
     // plain min-propagation shortens a path by O(1) per round and would
     // need 63 rounds; with path doubling the loop must finish well under
