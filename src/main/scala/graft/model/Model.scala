@@ -69,9 +69,20 @@ object Events {
 
   /** True when the row has any StopProcessing event — the short-circuit
     * guard every operator consults before touching a field.
+    *
+    * Implemented as `array_contains(events.stop, true)` rather than
+    * `exists(events, _.stop)`: higher-order functions are CodegenFallback
+    * expressions, and ONE of them in a projection excludes the whole
+    * operator from whole-stage codegen (CollapseCodegenStages rejects any
+    * plan whose expressions contain a CodegenFallback) — every pipeline
+    * stage was running interpreted because of this guard. The extracted
+    * `events.stop` is a GetArrayStructFields over a containsNull=false
+    * array with a non-nullable `stop` field, so `array_contains(…, true)`
+    * is exactly `exists`: true iff any element is true, false on empty,
+    * null only for a null array (which Pipeline.init rules out).
     */
   def stopped(events: Column): Column =
-    exists(events, e => e.getField("stop"))
+    array_contains(events.getField("stop"), lit(true))
 
   def stoppedCol: Column = stopped(expr(col))
 

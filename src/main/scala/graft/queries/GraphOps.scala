@@ -32,10 +32,19 @@ object GraphOps {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIters: Int = 20): DataFrame = {
-    var lab = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     var e = edges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // Iterate over the EDGE-INCIDENT vertex set only: an isolated node can
+    // never change label, so carrying the whole corpus through every
+    // label⋈label pointer-jump join (the previous shape) multiplied each
+    // round's cost by |nodes|/|touched| — at 100 TB the duplicate-edge set
+    // is ≪ the corpus, so this is the difference between per-round joins
+    // over billions of rows and per-round joins over the (small) duplicate
+    // neighborhood. Isolated nodes rejoin at the end with comp = id, which
+    // is exactly the fixpoint the old loop computed for them.
+    var lab = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .distinct().select(col("id"), col("id").as("comp")).localCheckpoint()
     var iters = 0
     while (!e.isEmpty && iters < maxIters) {
       iters += 1
@@ -66,18 +75,24 @@ object GraphOps {
         "component diameter exceeds 2^maxIters; raise maxIters")
     // the edge set can empty while the label FOREST still has depth > 1
     // (each round jumps pointers only once) — flatten to fixpoint, halving
-    // chain depth per jump, so comp is the component MINIMUM for every node
+    // chain depth per jump, so comp is the component MINIMUM for every node.
+    // The change marker rides along in the SAME join (old: a second
+    // id-equality join per round just to compare labels — one extra shuffle
+    // and one extra job per flatten iteration).
     var depth = true
     while (depth) {
       val jumped = lab.as("a")
         .join(lab.as("b"), col("a.comp") === col("b.id"), "left")
-        .select(col("a.id"), coalesce(col("b.comp"), col("a.comp")).as("comp"))
+        .select(col("a.id"), coalesce(col("b.comp"), col("a.comp")).as("comp"),
+          (col("b.comp").isNotNull && col("b.comp") =!= col("a.comp"))
+            .as("__changed"))
         .localCheckpoint()
-      depth = !jumped.as("x").join(lab.as("y"), col("x.id") === col("y.id"))
-        .filter(col("x.comp") =!= col("y.comp")).isEmpty
-      lab = jumped
+      depth = !jumped.filter(col("__changed")).isEmpty
+      lab = jumped.drop("__changed")
     }
-    lab
+    // isolated nodes (no incident edge) are their own component
+    nodes.select(col("id")).join(lab, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

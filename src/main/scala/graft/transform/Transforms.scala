@@ -76,23 +76,54 @@ object Converters {
     val norm = regexp_replace(trim(c), " +", " ")
     def attempt(fs: Seq[String]) =
       coalesce(fs.map(f => try_to_timestamp(norm, lit(f))): _*)
+    val nullTs = lit(null).cast(TimestampType)
     val digitOnly = norm.rlike("^[0-9]+$")
     val timeOnly = norm.rlike("^[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?(\\.[0-9]+)?( ?[AaPp][Mm])?$")
     // Shape dispatch: a failed try_to_timestamp attempt costs an internal
     // exception, so running all 21 formats per row dominates the operator at
     // scale. Each prefix shape can only ever match one format family (a
     // letter-first string can never parse as ISO or M/d/yyyy, and vice
-    // versa), so dispatching on a cheap prefix regex tries ≤ 8 formats
-    // instead of 21 — identical results, the unclassified residue falls
-    // through to the original full chain.
+    // versa) and each END-anchored time-of-day suffix can only ever match
+    // the format variant with the same time fields — the Java formatter
+    // must consume the ENTIRE input, so "… h:mm:ss AM" can never parse
+    // under "… h:mm a" or a bare-date pattern and vice versa. Two-level
+    // dispatch (prefix family, then time suffix) therefore tries the ONE
+    // OR TWO formats that could possibly succeed instead of 21 — identical
+    // results, near-zero internal parse exceptions; the unclassified
+    // residue falls through to the original full chain.
+    val hmsA = norm.rlike(" [0-9]{1,2}:[0-9]{2}:[0-9]{2} [AaPp][Mm]$")
+    val hmA = norm.rlike(" [0-9]{1,2}:[0-9]{2} [AaPp][Mm]$")
+    val hms = norm.rlike(" [0-9]{1,2}:[0-9]{2}:[0-9]{2}$")
+    // route each time-suffix shape to its format variants (empty = the
+    // family has no variant with that suffix, so every original attempt
+    // would have failed: return null without throwing)
+    def bySuffix(fHmsA: Seq[String], fHmA: Seq[String], fHms: Seq[String],
+                 bare: Seq[String]): Column = {
+      def att(fs: Seq[String]) = if (fs.isEmpty) nullTs else attempt(fs)
+      when(hmsA, att(fHmsA)).when(hmA, att(fHmA)).when(hms, att(fHms))
+        .otherwise(att(bare))
+    }
     val fullChain = coalesce(try_to_timestamp(norm) +:
       lenientDateTimeFormats.map(f => try_to_timestamp(norm, lit(f))): _*)
-    when(digitOnly || timeOnly, lit(null).cast(TimestampType))
-      .when(norm.rlike("^[A-Za-z]"), attempt(monthNameFormats))
-      .when(norm.rlike("^[0-9]{1,2} [A-Za-z]"), attempt(dayFirstFormats))
-      .when(norm.rlike("^[0-9]{1,2}/[0-9]{1,2}/[0-9]{4}"), attempt(slashFormats))
-      .when(norm.rlike("^[0-9]{1,2}-[0-9]{1,2}-[0-9]{4}"), attempt(dashFormats))
-      .when(norm.rlike("^[0-9]{4}/"), attempt(yearSlashFormats))
+    when(digitOnly || timeOnly, nullTs)
+      .when(norm.rlike("^[A-Za-z]"),
+        when(norm.contains(","),
+          bySuffix(
+            Seq("MMM d, yyyy h:mm:ss a", "MMMM d, yyyy h:mm:ss a"),
+            Seq("MMM d, yyyy h:mm a", "MMMM d, yyyy h:mm a"),
+            Nil,
+            Seq("MMM d, yyyy", "MMMM d, yyyy")))
+        .otherwise(bySuffix(Nil, Nil, Nil, Seq("MMM d yyyy", "MMMM d yyyy"))))
+      .when(norm.rlike("^[0-9]{1,2} [A-Za-z]"),
+        bySuffix(Seq("d MMM yyyy h:mm:ss a"), Seq("d MMM yyyy h:mm a"), Nil,
+          Seq("d MMM yyyy", "d MMMM yyyy")))
+      .when(norm.rlike("^[0-9]{1,2}/[0-9]{1,2}/[0-9]{4}"),
+        bySuffix(Seq("M/d/yyyy h:mm:ss a"), Seq("M/d/yyyy h:mm a"),
+          Seq("M/d/yyyy H:mm:ss"), Seq("M/d/yyyy")))
+      .when(norm.rlike("^[0-9]{1,2}-[0-9]{1,2}-[0-9]{4}"),
+        bySuffix(Seq("M-d-yyyy h:mm:ss a"), Nil, Nil, Seq("M-d-yyyy")))
+      .when(norm.rlike("^[0-9]{4}/"),
+        bySuffix(Nil, Nil, Seq("yyyy/M/d H:mm:ss"), Seq("yyyy/M/d")))
       .when(norm.rlike("^[0-9]{4}-"), try_to_timestamp(norm))
       .otherwise(fullChain)
   }
@@ -303,9 +334,16 @@ object Pipeline {
       // value", Conversion.cs:70-74)
       fields.filter(df.columns.contains).foldLeft(df) { (d, f) =>
         val g = pred && !Events.stoppedCol
-        val converted = fn(col(f))
         val applied = g && col(f).isNotNull
-        val failed = applied && converted.isNull
+        // The converted value is STAGED in a temp column and referenced from
+        // both the failure test and the final value. Instantiating `fn(col(f))`
+        // twice (the previous shape) left two copies of the converter tree in
+        // the collapsed projection — for ToDateTime that is the whole
+        // try_to_timestamp format chain evaluated twice per row. A staged
+        // non-cheap alias referenced more than once is exactly what
+        // CollapseProject refuses to inline, so this guarantees one
+        // evaluation.
+        val failed = col("__applied") && col("__conv").isNull
         // Unconditional conversion → typed column: success overwrites,
         // failure removes the field (null) matching Conversion.cs:84-88.
         // GATED conversion (under Conditional) must NOT destroy rows the
@@ -316,19 +354,20 @@ object Pipeline {
         // original value, failures null + stop event.
         val newVal =
           if (gated)
-            when(col("__applied") && !col("__failed"), converted.cast(StringType))
+            when(col("__applied") && !col("__failed"), col("__conv").cast(StringType))
               .when(col("__failed"), lit(null).cast(StringType))
               .otherwise(col(f).cast(StringType))
           else
-            when(col("__applied") && !col("__failed"), converted)
+            when(col("__applied") && !col("__failed"), col("__conv"))
               .otherwise(lit(null).cast(dt))
-        d.withColumn("__applied", applied).withColumn("__failed", failed)
+        d.withColumn("__conv", fn(col(f)))
+          .withColumn("__applied", applied).withColumn("__failed", failed)
           .withColumn(Events.col,
             Events.appendWhen(col(Events.col), col("__failed"),
               fieldEvent(stop = true, LogEvent.Error,
                 s"Unable to convert the data in field [$f]", col(f))))
           .withColumn(f, newVal)
-          .drop("__applied", "__failed")
+          .drop("__conv", "__applied", "__failed")
       }
 
     case Conditional(p, inner) =>
