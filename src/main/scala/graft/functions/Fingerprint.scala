@@ -81,4 +81,10 @@ object fns {
     Bridge.column(RollingMinHash(Bridge.expression(c), k))
   def array_dot(a: Column, b: Column): Column =
     Bridge.column(ArrayDot(Bridge.expression(a), Bridge.expression(b)))
+  def word_ngram_hash60(c: Column, n: Int, mod: Long = 0L): Column =
+    Bridge.column(WordNgramHash60(Bridge.expression(c), n, mod))
+  def word_ngrams(c: Column, n: Int): Column =
+    Bridge.column(WordNgrams(Bridge.expression(c), n))
+  def simhash_bits(c: Column, bits: Int): Column =
+    Bridge.column(SimHashBits(Bridge.expression(c), bits))
 }

@@ -68,17 +68,15 @@ object PipelineOps {
     docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(col("w") =!= "")
 
-  /** doc_id → distinct word-n-gram md5-hashes (n fixed per call site). */
-  private def ngramHashes(docs: DataFrame, n: Int): DataFrame = {
-    val parts = (0 until n).map(j => s"__w[i+$j]").mkString(", ")
-    docs.withColumn("__w", split(trim(col("text")), "\\s+"))
-      .select(col("doc_id"), explode_outer(expr(
-        s"CASE WHEN size(__w) >= $n THEN transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', $parts)) ELSE array() END"))
-        .as("g"))
-      .filter(col("g").isNotNull)
-      .select(col("doc_id"), TextOps.md5Hash60(col("g")).as("h"))
+  /** doc_id → distinct word-n-gram md5-hashes (n fixed per call site).
+    * Single codegen pass per document (graft.functions.WordNgramHash60, the
+    * TextOps.shingleHashes optimization) — identical hash values, no HOF
+    * lambda, no md5-hex string round trip.
+    */
+  private def ngramHashes(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.fns.word_ngram_hash60(col("text"), n)).as("h"))
       .distinct()
-  }
 
   private def ngramHashesSql(src: String, n: Int): String = {
     val parts = (1 to n).map(j => s"t.w[i+${j - 1}]").mkString(", ")
@@ -131,11 +129,12 @@ object PipelineOps {
         .groupBy("doc_id").agg(
           sum("c").as("n_words"), count(lit(1)).as("n_distinct_words"),
           max("c").as("__top_w"))
-      val bg = docs.withColumn("__w", split(trim(col("text")), "\\s+"))
-        .select(col("doc_id"), explode_outer(expr(
-          "CASE WHEN size(__w) >= 2 THEN transform(sequence(0, size(__w) - 2), i -> concat_ws(' ', __w[i], __w[i+1])) ELSE array() END"))
-          .as("bg"))
-        .filter(col("bg").isNotNull)
+      // bigrams must stay STRINGS (the group key is the literal bigram —
+      // hashing could merge distinct groups), but the n-gram generation is
+      // the same single codegen pass (graft.functions.WordNgrams)
+      val bg = docs
+        .select(col("doc_id"),
+          explode(graft.functions.fns.word_ngrams(col("text"), 2)).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(sum("c").as("__n_bg"), max("c").as("__top_bg"))
       ws.join(bg, Seq("doc_id"), "left")

@@ -78,14 +78,16 @@ object TextOps {
     sh.join(hot, Seq("h"), "left_anti")
   }
 
-  /** doc_id → distinct word-3-gram shingle hashes (mod M), both engines. */
+  /** doc_id → distinct word-3-gram shingle hashes (mod M), both engines.
+    * Single codegen pass per document (graft.functions.WordNgramHash60):
+    * the previous transform-lambda + md5-hex-string composition was
+    * CodegenFallback (HOF) and allocated a hex string + conv per shingle —
+    * values are bit-identical (same tokenization, same ' '-joined bytes,
+    * same 60-bit md5 prefix, same mod), proved by TextHashSpec.
+    */
   private def shingleHashes(docs: DataFrame): DataFrame =
-    docs.withColumn("__w", split(trim(col("text")), "\\s+"))
-      .select(col("doc_id"), explode_outer(expr(
-        "CASE WHEN size(__w) >= 3 THEN transform(sequence(0, size(__w) - 3), i -> concat_ws(' ', __w[i], __w[i+1], __w[i+2])) ELSE array() END"))
-        .as("shingle"))
-      .filter(col("shingle").isNotNull)
-      .select(col("doc_id"), pmod(md5Hash60(col("shingle")), lit(M)).as("h"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.fns.word_ngram_hash60(col("text"), 3, M)).as("h"))
       .distinct()
 
   private[queries] val shingleHashesSql =
@@ -150,19 +152,17 @@ object TextOps {
 
   private val SIMBITS = 48
 
-  private def simhash(docs: DataFrame): DataFrame = {
-    val wordHash = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
-      .filter(col("w") =!= "")
-      .select(col("doc_id"), md5Hash60(col("w")).as("h"))
-    val sums = wordHash.groupBy("doc_id").agg(
-      sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("b0"),
-      (1 until SIMBITS).map(j =>
-        sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j")): _*)
-    sums.select(col("doc_id"),
-      (0 until SIMBITS).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-        .reduce(_ + _).as("simhash"))
-  }
+  /** 48-bit SimHash in ONE map-side codegen pass per document
+    * (graft.functions.SimHashBits) — the previous explode → 48×sum(CASE) →
+    * assemble pipeline shuffled every word hash through a doc_id exchange
+    * just to tally bits that are a per-document-local computation. NULL
+    * simhash = no non-empty tokens, exactly the docs the aggregation
+    * emitted no row for; bit values are identical (TextHashSpec).
+    */
+  private def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.fns.simhash_bits(col("text"), SIMBITS).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   private val simhashSql = {
     val sums = (0 until SIMBITS)
