@@ -72,7 +72,13 @@ object TextOps {
     * broadcasts it.
     */
   private def cappedShingleHashes(docs: DataFrame): DataFrame = {
+    // persist: sh is consumed twice (the hot-set aggregation AND the
+    // anti-join left side) — without it the whole shingle-generation +
+    // distinct pipeline runs twice. Rows are (doc_id, h) = 16 bytes, no
+    // text; MEMORY_AND_DISK spills rather than OOMs (the same contract as
+    // the sig/capped persists in this file).
     val sh = shingleHashes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap).select("h")
     sh.join(hot, Seq("h"), "left_anti")
@@ -237,9 +243,13 @@ object TextOps {
       // fingerprints (boilerplate runs shared by > ShingleDfCap docs) are
       // dropped before the self-join — the same anti-join cap as hot
       // shingles, killing the df² quadratic at 100 TB.
+      // persist: d is consumed by the hot-set pass and BOTH self-join
+      // sides — unpersisted, the O(len) rolling-hash scan of every
+      // document ran up to 4×. Rows are (doc_id, rfp, fp) = 24 bytes.
       val d = augDocs(s, dir).select(col("doc_id"),
         graft.functions.fns.rolling_min_hash(col("text"), 8).as("rfp"),
         graft.functions.fns.fnv64(col("text")).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hot = d.groupBy("rfp").agg(count(lit(1)).as("df"))
         .filter(col("df") > ShingleDfCap).select("rfp")
       val capped = d.join(hot, Seq("rfp"), "left_anti")

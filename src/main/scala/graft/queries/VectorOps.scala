@@ -212,10 +212,16 @@ object VectorOps {
       .withColumn("pcell", explode(slice(sortedCells, 1, IVF_NPROBE)))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("pcell").getField("cid").as("pcid"))
+    // One exchange serves BOTH the dedup and the top-k window (guide:
+    // operations keyed the same way share an exchange): hash-partitioning
+    // by qid alone satisfies the distinct's (qid, nid, cos) clustering
+    // (subset rule) AND the window's qid clustering, so the candidate
+    // pairs shuffle once instead of twice.
     val pairs = asg.join(broadcast(probes),
         col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         (dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cos"))
+      .repartition(col("qid"))
       .distinct() // a neighbor can appear via both probed cells
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(round(col("cos"), 9).desc, col("nid").asc)
