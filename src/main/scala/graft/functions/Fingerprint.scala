@@ -87,4 +87,7 @@ object fns {
     Bridge.column(WordNgrams(Bridge.expression(c), n))
   def simhash_bits(c: Column, bits: Int): Column =
     Bridge.column(SimHashBits(Bridge.expression(c), bits))
+  def word_ngram_minhash(c: Column, n: Int, mod: Long,
+                         as: Seq[Long], bs: Seq[Long]): Column =
+    Bridge.column(WordNgramMinHash(Bridge.expression(c), n, mod, as, bs))
 }

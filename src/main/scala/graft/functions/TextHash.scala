@@ -107,6 +107,44 @@ object TextHashFns {
     new GenericArrayData(out)
   }
 
+  /** K MinHash signature values in ONE pass over the word n-grams:
+    * mh_i = min over n-grams of (h * as(i) + bs(i)) % mod with
+    * h = h60(n-gram) % mod. The distinct-shingles step the explode→groupBy
+    * pipeline ran is irrelevant to a MIN (min over a multiset equals min
+    * over its set), so the whole signature is a map-side projection.
+    * Returns null when the doc has fewer than n tokens — exactly the docs
+    * the aggregation pipeline emitted no row for. All arithmetic stays in
+    * [0, mod²+mod] ≪ 2^63: bit-identical to the SQL expression.
+    */
+  def ngramMinHash(text: UTF8String, n: Int, mod: Long,
+                   as: Array[Long], bs: Array[Long]): ArrayData = {
+    val w = tokens(text.toString)
+    if (w.length < n) return null
+    val k = as.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= w.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(w(i + j))
+        j += 1
+      }
+      val h = h60(sb.toString) % mod
+      var p = 0
+      while (p < k) {
+        val v = (h * as(p) + bs(p)) % mod
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** SimHash over word-unigram 60-bit hashes, low `bits` bits tallied ±1,
     * assembled sign-positive — identical to the explode → 48×sum(CASE…) →
     * assemble pipeline, computed map-side in one pass. Returns -1 (mapped
@@ -162,6 +200,30 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashFns.ngrams($c, $n)")
   override protected def withNewChildInternal(c: Expression): WordNgrams =
+    copy(child = c)
+}
+
+case class WordNgramMinHash(child: Expression, n: Int, mod: Long,
+                            as: Seq[Long], bs: Seq[Long])
+    extends UnaryExpression {
+  require(as.length == bs.length, "as/bs coefficient arrays must align")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  private lazy val asArr = as.toArray
+  private lazy val bsArr = bs.toArray
+  override def nullSafeEval(v: Any): Any =
+    TextHashFns.ngramMinHash(v.asInstanceOf[UTF8String], n, mod, asArr, bsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val asRef = ctx.addReferenceObj("mhAs", asArr, "long[]")
+      val bsRef = ctx.addReferenceObj("mhBs", bsArr, "long[]")
+      s"""
+         |${ev.value} = graft.functions.TextHashFns.ngramMinHash(
+         |  $c, $n, ${mod}L, $asRef, $bsRef);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): WordNgramMinHash =
     copy(child = c)
 }
 

@@ -109,12 +109,22 @@ object TextOps {
        |  WHERE len(t.w) >= 3
        |)""".stripMargin
 
-  /** MinHash signature columns mh0..mh15, Spark side. */
-  private def signatures(docs: DataFrame): DataFrame =
-    shingleHashes(docs).groupBy("doc_id")
-      .agg(
-        min((col("h") * as.head + bs.head) % M).as("mh0"),
-        (1 until K).map(i => min((col("h") * as(i) + bs(i)) % M).as(s"mh$i")): _*)
+  /** MinHash signature columns mh0..mh15, Spark side — ONE map-side codegen
+    * pass per document (graft.functions.WordNgramMinHash): the explode →
+    * distinct → 16-min groupBy pipeline cost two exchanges to compute what
+    * is a per-document minimum (a min over a multiset equals the min over
+    * its set, so the distinct never mattered). NULL array = fewer than 3
+    * tokens, exactly the docs the aggregation emitted no row for; values
+    * are bit-identical (TextHashSpec).
+    */
+  private def signatures(docs: DataFrame): DataFrame = {
+    val sig = docs.select(col("doc_id"),
+        graft.functions.fns.word_ngram_minhash(col("text"), 3, M, as, bs)
+          .as("__sig"))
+      .filter(col("__sig").isNotNull)
+    sig.select(col("doc_id") +:
+      (0 until K).map(i => element_at(col("__sig"), i + 1).as(s"mh$i")): _*)
+  }
 
   private[queries] val signaturesSql =
     s"""sig AS (

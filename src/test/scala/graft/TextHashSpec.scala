@@ -72,6 +72,34 @@ class TextHashSpec extends AnyFunSuite {
     assert(viaExpr == viaHof)
   }
 
+  test("word_ngram_minhash equals the explode+distinct+groupBy-min pipeline") {
+    val M = 1000003L
+    val K = 16
+    val as = (1 to K).map(i => (1103515245L * i + 12345L) % M)
+    val bs = (1 to K).map(i => (987654321L * i + 7L) % M)
+    val viaAgg = df.withColumn("__w", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), explode_outer(expr(
+        "CASE WHEN size(__w) >= 3 THEN transform(sequence(0, size(__w) - 3), i -> concat_ws(' ', __w[i], __w[i+1], __w[i+2])) ELSE array() END"))
+        .as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), pmod(oldHash(col("g")), lit(M)).as("h"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(min((col("h") * as.head + bs.head) % M).as("mh0"),
+        (1 until K).map(i => min((col("h") * as(i) + bs(i)) % M).as(s"mh$i")): _*)
+      .collect().map(r => (r.getLong(0), (1 to K).map(r.getLong).toList))
+      .toSeq.sortBy(_._1)
+    val viaExpr = df
+      .select(col("doc_id"),
+        fns.word_ngram_minhash(col("text"), 3, M, as, bs).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id") +:
+        (0 until K).map(i => element_at(col("s"), i + 1).as(s"mh$i")): _*)
+      .collect().map(r => (r.getLong(0), (1 to K).map(r.getLong).toList))
+      .toSeq.sortBy(_._1)
+    assert(viaExpr == viaAgg)
+  }
+
   test("simhash_bits equals the explode + per-bit sum + assemble pipeline") {
     val bits = 48
     val wordHash = df
