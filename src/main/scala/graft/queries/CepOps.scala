@@ -24,10 +24,26 @@ object CepOps {
     */
   private def dirtyTurns(s: SparkSession, dir: String): DataFrame = {
     val t = Transcript.fromEvents(s, dir)
-    t.filter(col("pos") % 7 =!= 0).unionByName(
-      t.filter(col("pos") % 11 === 0)
-        .withColumn("text", lit("DUP"))
-        .withColumn("pos", col("pos") + 1000000000L))
+    // Same multiset as `filter(%7≠0) UNION ALL dup(%11=0)`, built from ONE
+    // pass: the filter-union shape duplicated the whole scan → exchange →
+    // row_number subtree per branch (the branches prune different columns,
+    // so ReuseExchange cannot merge them — two full scans and two window
+    // exchanges per dirty query). Here each row contributes its original
+    // copy (unless %7-dropped) plus its DUP copy (when %11-selected) via
+    // one codegen'd explode. Every consumer is order-insensitive (fMGWS
+    // min-pos dedup, row_number over pos), so multiset equality is result
+    // equality — the DuckDB dirty CTE is unchanged.
+    val orig = struct(t.columns.map(col): _*)
+    val dup = struct(col("conv_id"), col("turn_idx"), col("role"),
+      lit("DUP").as("text"), col("tool"), col("ts"),
+      (col("pos") + 1000000000L).as("pos"))
+    val none = array().cast(new org.apache.spark.sql.types.ArrayType(
+      t.select(orig).schema.head.dataType, false))
+    t.select(explode(concat(
+        when(col("pos") % 7 =!= 0, array(orig)).otherwise(none),
+        when(col("pos") % 11 === 0, array(dup)).otherwise(none)))
+        .as("__r"))
+      .select(col("__r.*"))
   }
 
   private val dirtySql =
