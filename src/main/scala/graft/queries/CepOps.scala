@@ -33,17 +33,23 @@ object CepOps {
     // one codegen'd explode. Every consumer is order-insensitive (fMGWS
     // min-pos dedup, row_number over pos), so multiset equality is result
     // equality — the DuckDB dirty CTE is unchanged.
-    val orig = struct(t.columns.map(col): _*)
-    val dup = struct(col("conv_id"), col("turn_idx"), col("role"),
-      lit("DUP").as("text"), col("tool"), col("ts"),
-      (col("pos") + 1000000000L).as("pos"))
+    // conv_id stays a TOP-LEVEL column through the explode (only the
+    // per-copy fields ride in the struct): Generate preserves its child's
+    // output partitioning, so the transcript window's
+    // hashpartitioning(conv_id) survives into the dirty frame and the
+    // dedup window (conv_id, turn_idx) reuses it instead of re-shuffling
+    // (the fMGWS consumers still exchange on their opaque groupByKey value).
+    val rest = Seq("turn_idx", "role", "text", "tool", "ts", "pos")
+    val orig = struct(rest.map(col): _*)
+    val dup = struct(col("turn_idx"), col("role"), lit("DUP").as("text"),
+      col("tool"), col("ts"), (col("pos") + 1000000000L).as("pos"))
     val none = array().cast(new org.apache.spark.sql.types.ArrayType(
       t.select(orig).schema.head.dataType, false))
-    t.select(explode(concat(
+    t.select(col("conv_id"), explode(concat(
         when(col("pos") % 7 =!= 0, array(orig)).otherwise(none),
         when(col("pos") % 11 === 0, array(dup)).otherwise(none)))
         .as("__r"))
-      .select(col("__r.*"))
+      .select(col("conv_id") +: rest.map(f => col(s"__r.$f").as(f)): _*)
   }
 
   private val dirtySql =

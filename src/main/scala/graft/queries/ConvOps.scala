@@ -13,10 +13,11 @@ import graft.source.Transcript
   * check; the streaming order/pairing flavors live in graft.stream).
   *
   * Scale notes (100 TB): every operator here costs exactly ONE hash
-  * exchange on `conv_id` (a groupBy or a per-conversation window) on top of
-  * the turns derivation — the same key every stateful op in the engine
-  * shuffles on, so on a pre-bucketed transcript table the exchange
-  * disappears entirely. No joins, no explodes, no driver-side state.
+  * exchange on `conv_id` TOTAL — the turns derivation windows on conv_id
+  * (Transcript.fromEvents), and each analytics groupBy/window REUSES that
+  * partitioning instead of adding its own (PlanSpec-pinned); on a
+  * pre-bucketed transcript table even that one disappears. No joins, no
+  * explodes, no driver-side state.
   * Conversations are bounded (≤ a few thousand turns) so per-key windows
   * never spill; hot-conversation skew is the salted-agg problem already
   * handled in CepOps (q_skew_salted_agg).

@@ -46,7 +46,12 @@ object GraphOps {
     var lab = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .distinct().select(col("id"), col("id").as("comp")).localCheckpoint()
     var iters = 0
-    while (!e.isEmpty && iters < maxIters) {
+    // track the last emptiness probe instead of re-running `e.isEmpty` in
+    // the post-loop `require` — isEmpty is a Spark job (plan + probe task)
+    // even on a checkpointed frame, and the loop's own exit probe already
+    // holds the answer
+    var eEmpty = e.isEmpty
+    while (!eEmpty && iters < maxIters) {
       iters += 1
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       // min over contracted neighborhood ∪ self
@@ -68,9 +73,10 @@ object GraphOps {
         .select(least(col("ju.comp"), col("jv.comp")).as("u"),
           greatest(col("ju.comp"), col("jv.comp")).as("v"))
         .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      eEmpty = e.isEmpty
       lab = jumped
     }
-    require(e.isEmpty,
+    require(eEmpty,
       s"connectedComponents did not converge in $maxIters rounds — " +
         "component diameter exceeds 2^maxIters; raise maxIters")
     // the edge set can empty while the label FOREST still has depth > 1

@@ -184,7 +184,12 @@ object ReferenceOps {
           Truncate(Map("text" -> 120)),
           UniqueFlag(Seq("conv_id", "turn_idx")))
         .source(turns(s, dir))
-      out(flow.run().orderBy(col("conv_id"), col("turn_idx")),
+      // no output orderBy: the result CONTRACT is the row multiset (the
+      // oracle SQL has no ORDER BY and the driver compares sorted); a
+      // cosmetic global sort costs a rangepartitioning exchange + full sort
+      // of the transcript at 100 TB (guide §2.4's "orderBy used only to
+      // make output deterministic")
+      out(flow.run(),
         col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"))
     })
   )

@@ -26,15 +26,26 @@ import org.apache.spark.sql.types._
 object Transcript {
 
   /** Spark-side derivation. Window is per-conversation only (150–150k convs
-    * scale with the data); at 100 TB this is the natural partitioning — the
-    * row_number shuffle is keyed by conv_id, which is also the key of every
-    * downstream stateful op, so the exchange is reused by AQE.
+    * scale with the data); at 100 TB this is the natural partitioning.
+    *
+    * The window is keyed on `conv_id` ITSELF — projected to an attribute
+    * BEFORE the window so the exchange's hashpartitioning(conv_id) survives
+    * the final projection (alias-aware output partitioning only tracks
+    * attributes that stay in scope; windowing on the raw `concat` expression
+    * would hide the partitioning behind an extracted `_w0` alias). Because
+    * `conv_id = 'c' + user_id` is a bijection of `user_id`, partitions and
+    * in-partition order — hence every `row_number` value — are identical to
+    * a user_id-keyed window; but now every downstream conv_id-keyed operator
+    * (ConvOps lag/lead/cumsum windows, the tool-pair join and its
+    * earliest-result window, the timeout anti-join) REUSES this exchange
+    * instead of adding a second full shuffle of the transcript.
     */
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .withColumn("conv_id", concat(lit("c"), col("user_id").cast(StringType)))
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("event_id"))
     events.select(
-      concat(lit("c"), col("user_id").cast(StringType)).as("conv_id"),
+      col("conv_id"),
       (row_number().over(w) - 1).cast(IntegerType).as("turn_idx"),
       when(col("event_id") % 3 === 0, lit("user"))
         .when(col("event_id") % 3 === 1, lit("assistant"))

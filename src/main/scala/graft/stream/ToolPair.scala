@@ -40,7 +40,11 @@ object ToolPair {
       col("result_ts") <= col("call_ts") + expr(s"INTERVAL $maxDelay")
 
   /** Batch: left join, keep earliest matching result per call (by result ts
-    * then pos — deterministic).
+    * then pos — deterministic). Both sides arrive hashpartitioned on
+    * conv_id from the transcript derivation, which satisfies the join's
+    * (conv_id, tool) clustering AND the winner window's
+    * (conv_id, call_turn_idx) clustering — neither adds an exchange
+    * (PlanSpec-pinned).
     */
   def batch(turns: DataFrame, maxDelay: String = "5 MINUTES"): DataFrame = {
     val joined = calls(turns).join(results(turns), joinCond(maxDelay), "left")

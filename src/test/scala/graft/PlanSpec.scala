@@ -171,20 +171,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("ConvOps: each conversation-analytics op costs one conv_id exchange over the turns derivation") {
-    // the ops themselves must add exactly one hash exchange on conv_id (the
-    // turns derivation carries its own user_id window exchange — on a
-    // pre-bucketed transcript table both collapse); no global sort anywhere
+  test("ConvOps: each conversation-analytics op costs ONE conv_id exchange total") {
+    // round 6: the turns derivation windows on conv_id itself (Transcript.
+    // fromEvents), so its exchange satisfies every downstream conv_id
+    // clustering — the analytics window/groupBy REUSES it instead of adding
+    // a second full shuffle of the transcript; no global sort anywhere
     Seq("q_conv_stats", "q_turn_latency", "q_context_window", "q_role_violations")
       .foreach { name =>
         val p = plan(name)
         assert(p.contains("Exchange hashpartitioning(conv_id"),
           s"$name must partition by conv_id:\n$p")
-        assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
-          s"$name unexpected extra exchange:\n$p")
+        assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+          s"$name must shuffle the transcript exactly once:\n$p")
         assert(!p.contains("Exchange SinglePartition") && !p.contains("rangepartitioning"),
           s"$name must not plan a global sort:\n$p")
       }
+  }
+
+  test("q_tool_pair: join + earliest-result window reuse the transcript's conv_id partitioning") {
+    // the pairing join's equi-keys start with conv_id and the winner window
+    // partitions by (conv_id, call_turn_idx) — both clusterings are
+    // satisfied by the turns derivation's hashpartitioning(conv_id), so the
+    // only hash exchanges are the two side derivations (≤ 2; the final
+    // window must NOT re-shuffle the joined pairs)
+    val p = plan("q_tool_pair")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"pairing must not add exchanges beyond the side derivations:\n$p")
+    assert(!"Exchange hashpartitioning\\(conv_id[^,)]*, call_turn_idx".r
+        .findFirstIn(p).isDefined,
+      s"earliest-result window must reuse the conv_id partitioning:\n$p")
   }
 
   test("streaming tool-pair join: text pruned from BOTH scans, keyed on (conv_id, tool)") {
