@@ -149,11 +149,19 @@ object TextOps {
         concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)): _*).as("bands"))
       .select(col("doc_id"), posexplode(col("bands")))
       .toDF("doc_id", "band_idx", "band_val")
+    // repartition(doc_a) BEFORE the distinct: hash partitioning on a
+    // subset of the distinct keys satisfies its (doc_a, doc_b) clustering
+    // AND the sa re-rank join's doc_a clustering (the q_ann_ivf
+    // exchange-sharing pattern) — at scale the candidate pairs cross the
+    // network twice (doc_a, then doc_b for sb) instead of three times; at
+    // fixture scale AQE broadcasts sig so the plan keeps its single hash
+    // exchange either way.
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .repartition(col("doc_a"))
       .distinct()
     val est = (0 until K).map(i =>
       when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0)).reduce(_ + _)
